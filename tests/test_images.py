@@ -1,0 +1,84 @@
+"""Image codec + perceptual-hash tests (M4 payload layer): lossless
+round-trips, the PSNR ≥ 40 dB lossy invariant, phash near-dup hamming,
+and the truth-sidecar sha integrity (BASELINE.json input_hint)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from wormpy_spark.fixtures.imagegen import generate_images
+from wormpy_spark.functions.imageops import (
+    LOSSLESS,
+    decode_image,
+    encode_image,
+    hamming64,
+    phash64,
+    psnr,
+)
+
+
+def _rand_img(seed, w=37, h=23):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+def test_bmp_roundtrip():
+    img = _rand_img(1)
+    assert np.array_equal(decode_image(encode_image(img, "bmp"), "bmp"), img)
+
+
+def test_png_roundtrip():
+    img = _rand_img(2)
+    assert np.array_equal(decode_image(encode_image(img, "png"), "png"), img)
+
+
+def test_qnt_lossy_psnr():
+    img = _rand_img(3, w=64, h=64)
+    out = decode_image(encode_image(img, "qnt"), "qnt")
+    assert psnr(img, out) >= 40.0  # input_hint per-row invariant
+    assert not np.array_equal(out, img)  # honestly lossy
+
+
+def test_phash_stability_and_sensitivity():
+    rng = np.random.Generator(np.random.PCG64(5))
+    base = np.clip(
+        rng.integers(0, 256, size=(4, 4, 3)).repeat(16, 0).repeat(16, 1)
+        + rng.integers(-5, 6, size=(64, 64, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    h0 = phash64(base)
+    # tiny perturbation → small hamming
+    pert = base.astype(np.int16)
+    pert[10, 10] += 2
+    pert = np.clip(pert, 0, 255).astype(np.uint8)
+    assert hamming64(h0, phash64(pert)) <= 6
+    # different image → large hamming
+    other = _rand_img(9, 64, 64)
+    assert hamming64(h0, phash64(other)) > 6
+
+
+def test_generated_corpus_truth():
+    images, truth = generate_images(n_images=24, seed=99)
+    t = truth.set_index("image_id")
+    n_dups = 0
+    phashes = dict(zip(images["image_id"], images["phash"]))
+    for _, img in images.iterrows():
+        decoded = decode_image(bytes(img["bytes"]), img["fmt"])
+        row = t.loc[img["image_id"]]
+        # per-row invariant: decoded pixels match the truth sha exactly
+        assert hashlib.sha256(decoded.tobytes()).hexdigest() == row["pixels_sha256"]
+        assert img["caption"] == row["caption"]
+        assert decoded.shape == (img["h"], img["w"], 3)
+    # near-dup clusters: at least one pair within hamming ≤ 6
+    ids = list(phashes)
+    close = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if hamming64(phashes[a], phashes[b]) <= 6
+    ]
+    n_dups = len(close)
+    assert n_dups >= 1, "generator should inject near-duplicate clusters"

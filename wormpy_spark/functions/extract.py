@@ -1,0 +1,254 @@
+"""HTML link / text / metadata extraction (F1-F3).
+
+Replicates the reference's BeautifulSoup-based extraction with a
+stdlib ``html.parser`` mini-DOM (bs4 is not in the environment):
+
+- ``extract_links``  ↔ ``modules/processors/url_processor.py:137-161``
+  ({urljoin(base, a[href]) for <a href>}; PDF → ∅; other types → ∅)
+- ``extract_text``   ↔ ``modules/processors/content_processor.py:188-234``
+  (drop script/style/nav/header/footer/aside subtrees, drop
+  style*=display:none, drop class*=hidden, get_text('\\n', strip),
+  squeeze blank lines)
+- ``extract_meta``   ↔ ``content_processor.py:135-186``
+  (url, content_type, title, all <meta name|property ... content>,
+  og:* pairs, ld+json as 'schema_org')
+
+Pure-Python cores are shared by the golden oracle and the engine's
+pandas UDFs so extraction parity is by construction; the ported
+reference unit cases (tests/test_scraper.py:80-96) pin the semantics
+against the reference itself.
+
+Scale note: these run as Arrow-batched pandas UDFs inside
+``mapInPandas``/``withColumn`` — one Python invocation per ~2048-row
+batch, never per row.
+"""
+
+from __future__ import annotations
+
+import json
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, MapType, StringType
+
+from .urlnorm import resolve_link
+
+VOID_ELEMENTS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+DROP_TAGS = {"script", "style", "nav", "header", "footer", "aside"}
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "text_parts")
+
+    def __init__(self, tag: str, attrs: dict[str, str | None]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[_Node] = []
+        self.text_parts: list[tuple[int, str]] = []  # (child_index, text)
+
+
+class _DomBuilder(HTMLParser):
+    """Builds a minimal element tree sufficient for the reference's
+    extraction semantics."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("[root]", {})
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, dict(attrs))
+        self.stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.stack[-1].children.append(_Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        # Pop to the nearest matching open tag (tolerates mis-nesting).
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        top = self.stack[-1]
+        top.text_parts.append((len(top.children), data))
+
+
+def _parse(html: str) -> _Node:
+    b = _DomBuilder()
+    b.feed(html or "")
+    return b.root
+
+
+def _is_dropped(node: _Node) -> bool:
+    if node.tag in DROP_TAGS:
+        return True
+    style = node.attrs.get("style") or ""
+    if "display:none" in style:
+        return True
+    cls = node.attrs.get("class") or ""
+    if "hidden" in cls:
+        return True
+    return False
+
+
+def _walk(node: _Node, fn) -> None:
+    """Visit nodes pre-order, skipping dropped subtrees (decompose)."""
+    for child in node.children:
+        if _is_dropped(child):
+            continue
+        fn(child)
+        _walk(child, fn)
+
+
+def _collect_text(node: _Node, out: list[str]) -> None:
+    """In-order text collection interleaving text runs with children,
+    skipping dropped subtrees — mirrors soup.get_text('\\n', strip)."""
+    texts = dict()
+    for idx, t in node.text_parts:
+        texts.setdefault(idx, []).append(t)
+    for i, child in enumerate(node.children):
+        for t in texts.pop(i, ()):
+            out.append(t)
+        if not _is_dropped(child):
+            _collect_text(child, out)
+    for ts in texts.values():  # trailing text after the last child
+        out.extend(ts)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python cores
+# ---------------------------------------------------------------------------
+
+def extract_links(html: str, base_url: str, content_type: str = "text/html") -> set[str]:
+    """F1: {urljoin(base, a[href])} over the whole document (including
+    dropped-for-text regions — the reference extracts links BEFORE any
+    text cleanup, from the raw soup)."""
+    if not content_type.lower().startswith("text/html"):
+        return set()
+    root = _parse(html)
+    links: set[str] = set()
+
+    def visit(node: _Node) -> None:
+        if node.tag == "a" and node.attrs.get("href") is not None:
+            links.add(resolve_link(base_url, node.attrs["href"]))
+        for child in node.children:
+            visit(child)
+
+    visit(root)
+    return links
+
+
+def extract_text(html: str) -> str:
+    """F2: reference-equivalent visible-text extraction."""
+    root = _parse(html)
+    parts: list[str] = []
+    _collect_text(root, parts)
+    stripped = (p.strip() for p in "\n".join(parts).splitlines())
+    return "\n".join(line for line in stripped if line)
+
+
+def extract_meta(html: str, content_type: str, url: str) -> dict[str, str]:
+    """F3: metadata dict; values coerced to strings (the engine's pages
+    table uses map<string,string>; ld+json kept as a JSON string)."""
+    meta: dict[str, str] = {"url": url, "content_type": content_type}
+    if not content_type.lower().startswith("text/html"):
+        return meta
+    root = _parse(html)
+
+    title_holder: list[str] = []
+    schema_holder: list[str] = []
+
+    def visit(node: _Node) -> None:
+        if node.tag == "title" and not title_holder:
+            buf: list[str] = []
+            _collect_text(node, buf)
+            title_holder.append("".join(buf))
+        elif node.tag == "meta":
+            content = node.attrs.get("content")
+            if content is not None:
+                name = node.attrs.get("name")
+                prop = node.attrs.get("property")
+                if name is not None:
+                    meta[name.lower()] = content
+                elif prop is not None:
+                    meta[prop.lower()] = content
+        elif node.tag == "script" and node.attrs.get("type") == "application/ld+json":
+            buf: list[str] = []
+            for _, t in node.text_parts:
+                buf.append(t)
+            schema_holder.append("".join(buf))
+
+    def walk_all(node: _Node) -> None:
+        visit(node)
+        for child in node.children:
+            walk_all(child)
+
+    walk_all(root)
+    if title_holder:
+        meta["title"] = title_holder[0]
+    for raw in schema_holder:
+        try:
+            meta["schema_org"] = json.dumps(json.loads(raw), sort_keys=True)
+        except (json.JSONDecodeError, TypeError):
+            pass
+    return meta
+
+
+def pdf_stub_text(body: bytes) -> str:
+    """Stub PDF text extractor shared by engine and oracle (PyPDF2 is
+    absent offline — FIXTURES.md PDF note): text between BT/ET markers."""
+    try:
+        text = body.decode("utf-8", errors="replace")
+        start = text.find("BT ")
+        end = text.rfind(" ET")
+        if start >= 0 and end > start:
+            return text[start + 3 : end].strip()
+    except Exception:
+        pass
+    return ""
+
+
+def is_dynamic_content(html: str, threshold: int = 500) -> bool:
+    """S7: extracted text shorter than 500 chars ⇒ dynamic
+    (content_processor.py:270-287)."""
+    return len(extract_text(html)) < threshold
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized engine UDFs
+# ---------------------------------------------------------------------------
+
+@pandas_udf(ArrayType(StringType()))
+def extract_links_udf(htmls: pd.Series, base_urls: pd.Series, ctypes: pd.Series) -> pd.Series:
+    out = []
+    for html, base, ct in zip(htmls, base_urls, ctypes):
+        if html is None or ct is None:
+            out.append([])
+        else:
+            out.append(sorted(extract_links(html, base, ct)))
+    return pd.Series(out)
+
+
+@pandas_udf(StringType())
+def extract_text_udf(htmls: pd.Series) -> pd.Series:
+    return htmls.map(lambda h: extract_text(h) if h is not None else None)
+
+
+@pandas_udf(MapType(StringType(), StringType()))
+def extract_meta_udf(htmls: pd.Series, ctypes: pd.Series, urls: pd.Series) -> pd.Series:
+    out = []
+    for html, ct, url in zip(htmls, ctypes, urls):
+        if ct is None:
+            out.append(None)
+        else:
+            out.append(extract_meta(html or "", ct, url))
+    return pd.Series(out)

@@ -1,0 +1,119 @@
+"""Frontier ordering + expansion operators (O1-O7, J2, J4).
+
+The reference's frontier is a FIFO deque (url_tracker.py:28,64,75,87).
+With the canonical single-scraper + sorted-expansion determinism shim
+(SURVEY.md §2.5-O4), FIFO order is exactly the lexicographic order of
+the priority triple
+
+    (round_enqueued, parent_seq, sibling_rank)
+
+because every URL processed in round r precedes every URL enqueued
+during round r (tail appends), expansions are appended parent-by-
+parent in parent processing order, and within a parent in sorted
+url_norm order. BSP rounds therefore reproduce the reference's
+sequential pop order exactly (proof sketch in SURVEY.md §3.2).
+
+``assign_global_seq`` turns that priority order into a dense global
+sequence WITHOUT a single-partition window: range-repartition on the
+priority, per-partition row_number, plus broadcast partition offsets —
+the standard scalable global-rank pattern (no driver collect of rows,
+no one-task sort at 10^10 scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.urlnorm import canonicalize_udf
+
+PRIORITY_COLS = ["round_enqueued", "parent_seq", "sibling_rank"]
+
+FRONTIER_SCHEMA = (
+    "url string, round_enqueued int, parent_seq long, sibling_rank int"
+)
+
+
+def assign_global_seq(
+    df: DataFrame,
+    order_cols: list[str] | None = None,
+    start: int = 0,
+    seq_col: str = "seq",
+    n_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Dense 0-based global sequence in (order_cols) order, offset by
+    ``start``. Scales: range partition → local rank → offset map.
+    ``order_cols`` must be a total order (the priority triple is unique
+    by construction). Returns (df_with_seq, row_count) — the count is a
+    free by-product of the offset computation."""
+    order_cols = order_cols or PRIORITY_COLS
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    total = acc - start
+    if not offsets:  # empty input — keep the schema, no rows
+        return ranged.drop("_pid").withColumn(seq_col, F.lit(0).cast("long")), 0
+    mapping = F.create_map(
+        *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    out = (
+        ranged.withColumn(
+            seq_col,
+            (mapping[F.col("_pid")] + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("_pid")
+    )
+    return out, total
+
+
+def dedup_within_round(df: DataFrame, key: str = "url_norm") -> DataFrame:
+    """First-occurrence-wins on the priority order: the sequential
+    equivalent is pop-skip of later in-pool duplicates via the
+    visited-at-pop check (scraper.py:77-79; J2 allows frontier dupes,
+    url_tracker.py:84-87)."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in PRIORITY_COLS])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def expand_frontier(
+    pages: DataFrame, base_norm: str, next_round: int
+) -> DataFrame:
+    """J4/O4: per-page outlinks → normalized, scope-filtered, per-parent
+    distinct, sibling-ranked candidate frontier rows for the next round.
+
+    The admission anti-join vs the seen set (J2) is applied by the
+    caller (operators.seen.anti_join_seen) so it can use the round's
+    refreshed bloom sidecar.
+    """
+    links = (
+        pages.filter(F.col("error").isNull())
+        .filter(F.size("discovered_urls") > 0)
+        .select(F.col("seq").alias("parent_seq"), F.explode("discovered_urls").alias("link"))
+    )
+    cand = (
+        links.withColumn("url_norm", canonicalize_udf(F.col("link")))
+        .filter(F.col("url_norm").startswith(base_norm))  # scraper.py:102
+        .select("parent_seq", "url_norm")
+        .distinct()  # per-parent set semantics (scraper.py:99)
+    )
+    w = Window.partitionBy("parent_seq").orderBy("url_norm")
+    return cand.select(
+        F.col("url_norm").alias("url"),
+        F.lit(next_round).cast("int").alias("round_enqueued"),
+        F.col("parent_seq"),
+        (F.row_number().over(w)).cast("int").alias("sibling_rank"),
+        F.col("url_norm"),
+    )

@@ -1,0 +1,123 @@
+"""URL-seen set: exact anti-join + Bloom-filter sidecar (J1-J3, X1).
+
+The reference keeps an in-memory ``set`` of normalized URLs checked at
+pop time (url_tracker.py:27,42). At 10^10-URL scale the engine keeps
+the seen set as a table of (url_norm, url_hash) and performs a LEFT
+ANTI join per round.
+
+The Bloom sidecar is the cheap pre-filter (SURVEY.md §2.3-J1): built
+distributively (per-partition partial bitmaps OR-ed together), it
+splits candidates into *definitely-unseen* (bloom negative — skip the
+join entirely) and *possibly-seen* (bloom positive — exact anti-join,
+authoritative). Bloom false positives therefore cost only join work,
+never correctness: BASELINE.json demands the exact seen set, and a
+Bloom-only check would wrongly drop URLs.
+
+Scale: the bitmap is ~1.2 GB per 10^9 keys at 1% FPP — per host-shard
+sidecars broadcast to matching tasks on a real cluster; in the sandbox
+one broadcast bitmap suffices.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class Bloom:
+    """Double-hashing Bloom filter over int64 keys (numpy bitmap)."""
+
+    def __init__(self, n_bits: int, n_hashes: int, bits: np.ndarray | None = None):
+        self.n_bits = n_bits
+        self.n_hashes = n_hashes
+        self.bits = bits if bits is not None else np.zeros((n_bits + 7) // 8, np.uint8)
+
+    @classmethod
+    def sized(cls, expected: int, fpp: float = 0.01) -> "Bloom":
+        expected = max(expected, 64)
+        n_bits = max(64, int(-expected * math.log(fpp) / (math.log(2) ** 2)))
+        n_hashes = max(1, round(n_bits / expected * math.log(2)))
+        return cls(n_bits, n_hashes)
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        k = keys.astype(np.uint64)
+        h1 = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(self.n_bits)
+        h2 = (k * np.uint64(0xC2B2AE3D27D4EB4F) | np.uint64(1)) % np.uint64(self.n_bits)
+        return np.stack(
+            [(h1 + np.uint64(i) * h2) % np.uint64(self.n_bits) for i in range(self.n_hashes)]
+        )
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._positions(keys).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        pos = self._positions(keys)
+        hit = (self.bits[(pos >> 3).astype(np.int64)] >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return hit.all(axis=0).astype(bool)
+
+    def union(self, other: "Bloom") -> "Bloom":
+        assert self.n_bits == other.n_bits and self.n_hashes == other.n_hashes
+        return Bloom(self.n_bits, self.n_hashes, self.bits | other.bits)
+
+
+def build_bloom(seen: DataFrame, hash_col: str, expected: int, fpp: float = 0.01) -> Bloom:
+    """Distributed build: each partition computes a partial bitmap via
+    mapInPandas (map-side combine); partials are OR-ed on the driver.
+    Only ceil(n_bits/8) bytes per partition cross the wire, never keys."""
+    proto = Bloom.sized(expected, fpp)
+    n_bits, n_hashes = proto.n_bits, proto.n_hashes
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b = Bloom(n_bits, n_hashes)
+        any_rows = False
+        for pdf in batches:
+            if len(pdf):
+                any_rows = True
+                b.add(pdf[hash_col].to_numpy(np.int64))
+        if any_rows:
+            yield pd.DataFrame({"bits": [b.bits.tobytes()]})
+
+    parts = seen.select(hash_col).mapInPandas(partial, "bits binary").collect()
+    out = Bloom(n_bits, n_hashes)
+    for row in parts:
+        out.bits |= np.frombuffer(row["bits"], np.uint8)
+    return out
+
+
+def anti_join_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom_broadcast=None,
+    hash_col: str = "url_hash",
+    key_col: str = "url_norm",
+) -> DataFrame:
+    """J1/J2: drop candidates already in the seen set.
+
+    Exact anti-join on (url_hash, url_norm) — the hash prunes the join
+    to 64-bit comparisons, the url_norm equality guards hash collisions.
+    With a bloom sidecar, bloom-negative rows bypass the shuffle
+    entirely; bloom-positive rows take the exact anti-join.
+    """
+    seen_keys = seen.select(hash_col, key_col)
+    if bloom_broadcast is None:
+        return candidates.join(seen_keys, on=[hash_col, key_col], how="left_anti")
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    @pandas_udf(BooleanType())
+    def maybe_seen(hashes: pd.Series) -> pd.Series:
+        b: Bloom = bloom_broadcast.value
+        return pd.Series(b.might_contain(hashes.to_numpy(np.int64)))
+
+    flagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col(hash_col)))
+    definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    checked = suspects.join(seen_keys, on=[hash_col, key_col], how="left_anti")
+    return definite_new.unionByName(checked)

@@ -1,0 +1,327 @@
+"""The BSP crawl driver loop (T4; SURVEY.md §3.2 engine lifecycle).
+
+Each round is one Catalyst-optimizable batch job over the whole
+frontier:
+
+    frontier → canonicalize/hash/host → scope filter (P4)
+             → ANTI JOIN seen [bloom pre-filter] (J1)
+             → within-round first-occurrence dedup (J2 equivalence)
+             → HEAD-model probe join dropping suspicious image/* (P5/P6)
+             → [robots filter — north_rule option]
+             → global seq on (round, parent_seq, sibling_rank) (O1-O4)
+             → budget cut seq < B (P9/O7)
+             → GET-model join vs web + one mapInPandas extract pass
+             → politeness schedule (applyInPandas per host, T1/T2)
+             → expansions (J4/O4) → anti-join seen → next frontier
+             → snapshot commit {frontier, seen, pages, host_state,
+               metrics} (T6 — resumable, per-partition lineage)
+
+Ordering-parity proof obligations (vs the sequential reference; tested
+against the golden oracle in tests/test_golden.py):
+- round-r frontier rows all precede round-r expansions in FIFO order
+  (tail appends) ⇒ BSP rounds preserve pop order;
+- within-round duplicates: first occurrence by priority wins — later
+  dupes are pop-skipped by the sequential visited check (J1) and
+  contribute nothing;
+- selenium-requeue (T3) retries in place and emits no row on failure ⇒
+  the (seq, url) sequence is identical to the no-failure sequence; the
+  engine therefore retries in-round and only accounts the extra
+  politeness draws;
+- expansions admitted against end-of-round seen ≡ admission-time seen
+  (a dupe admitted mid-round is pop-skipped later either way).
+
+Scale posture: frontier/seen/pages are parquet snapshots (Iceberg when
+the jar is present — sources.catalog shim), re-read each round, so
+lineage never grows; the global sequence is the range-partition rank
+pattern (no one-task sort); the seen anti-join gets a bloom sidecar
+pre-filter; hosts shard by pmod(xxhash64(host), n_host_shards) and AQE
+splits skewed joins at runtime.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.urlnorm import (
+    canonicalize_udf,
+    host_udf,
+    normalize_url,
+    suspicious_pred,
+)
+from ..operators.fetch import PAGES_SCHEMA, make_fetch_extract
+from ..operators.frontier import (
+    FRONTIER_SCHEMA,
+    PRIORITY_COLS,
+    assign_global_seq,
+    dedup_within_round,
+    expand_frontier,
+)
+from ..operators.politeness import SCHEDULE_SCHEMA, make_schedule_fn
+from ..operators.robots import RobotsCache, robots_allows_udf
+from ..operators.seen import anti_join_seen, build_bloom
+from ..sources.catalog import SnapshotCatalog
+from ..sources.sitemap import expand_sitemaps
+
+SEEN_SCHEMA = "url_hash long, url_norm string"
+HOST_STATE_SCHEMA = "host string, next_ix long, clock_s double, attempts long"
+
+
+@dataclass
+class CrawlConfig:
+    base_url: str
+    budget: int = 100           # MAX_URLS_TO_SCRAPE (config.py:18)
+    discovery: bool = True
+    politeness_seed: int = 42
+    respect_robots: bool = False  # north_rule addition; OFF for golden parity
+    checkpoint_dir: str | None = None
+    resume: bool = False
+    max_rounds: int = 256
+    use_bloom: bool = True
+    n_host_shards: int = 64
+
+
+@dataclass
+class CrawlResult:
+    pages: DataFrame
+    order: DataFrame        # (seq, url_norm, round)
+    seen: DataFrame         # (url_hash, url_norm)
+    metrics: DataFrame      # one row per round
+    host_state: DataFrame   # politeness clocks
+    sitemap_urls: list[str] = field(default_factory=list)
+    rounds: int = 0
+    checkpoint_dir: str | None = None
+
+
+def _empty(spark: SparkSession, schema: str) -> DataFrame:
+    return spark.createDataFrame([], schema)
+
+
+def run_crawl(
+    spark: SparkSession,
+    web: DataFrame,
+    config: CrawlConfig,
+    sitemaps: DataFrame | None = None,
+    robots: DataFrame | None = None,
+) -> CrawlResult:
+    base = normalize_url(config.base_url)  # main.py:111
+    budget = config.budget if config.discovery else 1
+    catalog = SnapshotCatalog(
+        config.checkpoint_dir or tempfile.mkdtemp(prefix="wormpy_spark_ckpt_")
+    )
+
+    robots_filter = None
+    if config.respect_robots and robots is not None:
+        cache = RobotsCache.from_fixture(robots.toPandas())
+        robots_filter = robots_allows_udf(spark.sparkContext.broadcast(cache))
+
+    # narrow projection used by the HEAD-model probe (column pruning:
+    # the probe scan reads only url_norm + content_type)
+    probe = web.select("url_norm", F.col("content_type").alias("_probe_ct"))
+
+    sitemap_urls: list[str] = []
+    metrics_rows: list[dict] = []
+
+    if config.resume and catalog.latest_round() is not None:
+        state = catalog.state()
+        assert state["base"] == base, "resume with a different base URL"
+        start_round = state["round"] + 1
+        processed = state["processed"]
+        sitemap_urls = state.get("sitemap_urls", [])
+        frontier = catalog.read(spark, "frontier")
+        seen = catalog.read(spark, "seen")
+        host_state = catalog.read(spark, "host_state")
+        metrics_rows = state.get("metrics_rows", [])
+    else:
+        start_round = 0
+        processed = 0
+        seen = _empty(spark, SEEN_SCHEMA)
+        host_state = _empty(spark, HOST_STATE_SCHEMA)
+        seed_rows = [(base, 0, -1, 0)]
+        if config.discovery and sitemaps is not None:
+            bases = spark.createDataFrame([(base,)], "base_url string")
+            found = expand_sitemaps(spark, sitemaps, bases)
+            sitemap_urls = sorted(r["url"] for r in found.collect())
+            # sorted(set(...)) seeding order (sitemap_parser.py:22,
+            # main.py:52-58): base first, then sitemap URLs by rank
+            seed_rows += [
+                (u, 0, -1, i + 1) for i, u in enumerate(sitemap_urls)
+            ]
+        frontier = spark.createDataFrame(seed_rows, FRONTIER_SCHEMA)
+
+    pages_rounds: list[int] = catalog.rounds() if config.resume else []
+    bloom_bc = None
+
+    r = start_round
+    while r < config.max_rounds and processed < budget:
+        t0 = time.time()
+        f = (
+            frontier.withColumn("url_norm", canonicalize_udf(F.col("url")))
+            .withColumn("host", host_udf(F.col("url_norm")))
+            .withColumn("url_hash", F.xxhash64(F.col("url_norm")))
+        )
+        f = f.withColumn(
+            "host_shard",
+            F.pmod(F.xxhash64(F.col("host")), F.lit(config.n_host_shards)).cast("int"),
+        )
+        in_scope = f.filter(F.col("url_norm").startswith(base))  # P4
+        not_seen = anti_join_seen(in_scope, seen, bloom_bc)       # J1
+        deduped = dedup_within_round(not_seen)                    # J2 equiv.
+
+        # P5/P6 — HEAD-model probe: only suspicious URLs consult the
+        # content type; image/* are skipped (scraper.py:81-84)
+        susp = deduped.filter(suspicious_pred(F.col("url_norm")))
+        rest = deduped.filter(~suspicious_pred(F.col("url_norm")))
+        susp_kept = (
+            susp.join(probe, on="url_norm", how="left")
+            .filter(
+                F.col("_probe_ct").isNull()
+                | ~F.col("_probe_ct").startswith("image/")
+            )
+            .drop("_probe_ct")
+        )
+        eligible = rest.unionByName(susp_kept)
+        if robots_filter is not None:
+            eligible = eligible.filter(robots_filter(F.col("url_norm")))
+
+        seqd, n_eligible = assign_global_seq(eligible, PRIORITY_COLS, start=processed)
+        if n_eligible == 0:
+            break
+        due = seqd.filter(F.col("seq") < budget).withColumn(
+            "round", F.lit(r).cast("int")
+        )
+
+        # GET-model fetch join + one Arrow extraction pass (S4-S7, F1-F3)
+        joined = due.join(
+            web.drop("url", "host"), on="url_norm", how="left"
+        )
+        pages_r_path = catalog.write_table(
+            "pages", r, joined.mapInPandas(make_fetch_extract(config.discovery), PAGES_SCHEMA)
+        )
+        pages_r = spark.read.parquet(pages_r_path)
+        due_count = pages_r.count()
+
+        # seen += processed rows (J3; error rows included, R2/R3)
+        seen_next = seen.unionByName(
+            pages_r.select(
+                F.xxhash64("url_norm").alias("url_hash"), "url_norm"
+            )
+        )
+        seen_path = catalog.write_table("seen", r, seen_next)
+        seen = spark.read.parquet(seen_path)
+
+        # politeness schedule (T1/T2): seeded per-host simulated clock
+        sched_in = (
+            pages_r.select(
+                "host",
+                "seq",
+                F.col("attempts").cast("int").alias("draws"),
+                F.when(F.col("fetch_failed_first"), 1.0).otherwise(0.0).alias("debit"),
+            )
+            .join(
+                F.broadcast(host_state.select("host", F.col("next_ix").alias("start_ix"))),
+                on="host",
+                how="left",
+            )
+        )
+        sched = sched_in.groupBy("host").applyInPandas(
+            make_schedule_fn(config.politeness_seed), SCHEDULE_SCHEMA
+        )
+        host_round = sched.groupBy("host").agg(
+            F.max("start_ix").alias("new_ix"),
+            F.sum("delay_s").alias("delay_sum"),
+            F.sum("draws").alias("draws_sum"),
+        )
+        host_state_next = (
+            host_state.join(host_round, on="host", how="full_outer")
+            .select(
+                "host",
+                F.coalesce("new_ix", "next_ix").cast("long").alias("next_ix"),
+                (F.coalesce("clock_s", F.lit(0.0)) + F.coalesce("delay_sum", F.lit(0.0))).alias("clock_s"),
+                (F.coalesce("attempts", F.lit(0)) + F.coalesce("draws_sum", F.lit(0))).cast("long").alias("attempts"),
+            )
+        )
+        host_state_path = catalog.write_table("host_state", r, host_state_next)
+        host_state = spark.read.parquet(host_state_path)
+
+        # expansions → next frontier (J2/J4/O4)
+        if config.discovery:
+            cand = expand_frontier(pages_r, base, next_round=r + 1)
+            cand = cand.withColumn("url_hash", F.xxhash64(F.col("url_norm")))
+            admitted = anti_join_seen(cand, seen, None).drop("url_hash", "url_norm")
+            frontier_next = admitted.select(
+                "url", "round_enqueued", "parent_seq", "sibling_rank"
+            )
+        else:
+            frontier_next = _empty(spark, FRONTIER_SCHEMA)
+        frontier_path = catalog.write_table("frontier", r, frontier_next)
+        frontier = spark.read.parquet(frontier_path)
+
+        n_errors = pages_r.filter(F.col("error").isNotNull()).count()
+        processed += due_count
+        pages_rounds.append(r)
+        metrics_rows.append(
+            {
+                "round": r,
+                "frontier_size": n_eligible,
+                "fetched": due_count,
+                "errors": n_errors,
+                "processed_total": processed,
+                "wall_s": time.time() - t0,
+            }
+        )
+        catalog.commit(
+            r,
+            {
+                "pages": pages_r_path,
+                "seen": seen_path,
+                "host_state": host_state_path,
+                "frontier": frontier_path,
+            },
+            state={
+                "base": base,
+                "processed": processed,
+                "round": r,
+                "budget": budget,
+                "sitemap_urls": sitemap_urls,
+                "metrics_rows": metrics_rows,
+            },
+        )
+
+        if config.use_bloom and processed > 0:
+            bloom_bc = spark.sparkContext.broadcast(
+                build_bloom(seen, "url_hash", expected=max(processed * 4, 1024))
+            )
+        r += 1
+
+    # assemble results across rounds
+    if pages_rounds:
+        pages = spark.read.parquet(
+            *[f"{catalog.root}/pages/snap-{rr:06d}" for rr in sorted(set(pages_rounds))]
+        )
+    else:
+        pages = _empty(spark, PAGES_SCHEMA)
+    order = pages.select("seq", "url_norm", "round").orderBy("seq")
+    metrics = (
+        spark.createDataFrame(metrics_rows)
+        if metrics_rows
+        else _empty(
+            spark,
+            "round int, frontier_size long, fetched long, errors long, "
+            "processed_total long, wall_s double",
+        )
+    )
+    return CrawlResult(
+        pages=pages,
+        order=order,
+        seen=seen,
+        metrics=metrics,
+        host_state=host_state,
+        sitemap_urls=sitemap_urls,
+        rounds=r,
+        checkpoint_dir=catalog.root,
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the crawl engine.
+
+Scale posture: every knob here is chosen so the same code runs on a
+1000-executor cluster — AQE on (runtime re-planning + skew-join
+splitting), Arrow on (all Python logic rides vectorized batches, never
+per-row), shuffle partitions sized to the local core count but
+overridable via ``SPARK_GRAFT_CPUS`` / explicit args for cluster runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "wormpy_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard conf.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` in the sandbox;
+    on a real cluster spark-submit supplies the master and these
+    settings remain valid.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing, skew-join splitting, plan re-optimization.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow: all pandas UDF traffic is columnar batches.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Image/binary payload rows are fat — keep Arrow batches bounded
+        # so an executor never materializes multi-GB batches.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Broadcast threshold: small dimension tables (robots rules,
+        # host state) broadcast instead of shuffling the big frontier.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
