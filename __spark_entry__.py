@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``     — flagship query (TPC-H Q1-style pricing summary) at
+                sf0.001.
+``queries``   — every implemented operator from SURVEY.md §2 plus the
+                training-data pipeline ops (dedup families, ANN,
+                text analysis, multimodal plumbing, crawl ordering).
+``oracle_sql``— the DuckDB-runnable ANSI equivalents; scale-path ops
+                (MinHash-LSH, LSH-ANN) are oracled against their
+                brute-force equivalents so the check proves recall.
+Non-SQL-expressible ops (crawl BSP ordering, binary image decode)
+carry no oracle → the driver records the weaker rows-only check; their
+exactness is enforced by tests/test_golden.py and tests/test_images.py.
 """
 
 from __future__ import annotations
@@ -16,23 +22,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from wormpy_spark.plans.registry import full_registry
+
+    return full_registry()["q1_pricing_summary"][0](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from wormpy_spark.plans.registry import full_registry
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in full_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from wormpy_spark.plans.registry import full_registry
+
+    return {
+        name: sql for name, (_, sql) in full_registry().items() if sql is not None
+    }

@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the crawl-throughput benchmark at two
+parallelism levels (N and 4N cores — the sandbox evidence for
+BASELINE.json's N→4N executor-scaling criterion), and prints ONE JSON
+line.
+
+Fields:
+- metric/value/unit: total headline-query wall seconds
+- queries: per-query seconds (analytics at sf dir + crawl runs)
+- crawl: pages, verified images, urls/sec at the big level
+- scaling: throughput at both levels + efficiency
+  ( (T_small/T_big) / (cpus_big/cpus_small) )
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CPUS_SMALL = max(2, CPUS // 4)
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "events_sessionize",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_fingerprint",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+]
+
+CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "/tmp/wormpy_bench_corpus")
+BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "8"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2500"))
+
+
+def ensure_corpus() -> None:
+    """Deterministic bench corpus, generated once and shared by both
+    parallelism levels (identical input per the scaling rule)."""
+    marker = os.path.join(CORPUS_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wormpy_spark.fixtures.webgen import generate_corpus
+
+    corpus = generate_corpus(
+        seed=99,
+        n_hosts=BENCH_HOSTS,
+        pages_per_host=BENCH_PAGES,
+        n_images_per_host=100,
+        skew_host=0,
+        skew_factor=2,  # host0 (the crawled host) is the hot/skewed one
+        branching=40,   # wide+shallow: few BSP rounds, fat per-round work
+    )
+    os.makedirs(CORPUS_DIR, exist_ok=True)
+    for name in ("web", "images", "images_truth"):
+        path = os.path.join(CORPUS_DIR, name)
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(corpus[name], preserve_index=False),
+            os.path.join(path, "part-0.parquet"),
+        )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def crawl_level(cpus: int) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "wormpy_spark.bench_crawl",
+            "--cpus",
+            str(cpus),
+            "--corpus",
+            CORPUS_DIR,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=1800,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"bench_crawl failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    from wormpy_spark.plans.registry import full_registry
+    from wormpy_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = full_registry()
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name][0]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.count()  # materialize the full plan
+        queries[name] = round(time.time() - t0, 3)
+    spark.stop()
+
+    ensure_corpus()
+    small = crawl_level(CPUS_SMALL)
+    big = crawl_level(CPUS)
+    queries[f"crawl_local{CPUS_SMALL}"] = small["wall_s"]
+    queries[f"crawl_local{CPUS}"] = big["wall_s"]
+    speedup = small["wall_s"] / big["wall_s"] if big["wall_s"] else 0.0
+    efficiency = speedup / (CPUS / CPUS_SMALL)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "headline_queries_plus_crawl_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "crawl": big,
+        "scaling": {
+            "cpus_small": CPUS_SMALL,
+            "cpus_big": CPUS,
+            "wall_small_s": small["wall_s"],
+            "wall_big_s": big["wall_s"],
+            "urls_per_sec_small": small["urls_per_sec"],
+            "urls_per_sec_big": big["urls_per_sec"],
+            "speedup": round(speedup, 3),
+            "efficiency": round(efficiency, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Local mirror of the driver's correctness gate: run every queries()
+entry on Spark at sf0.01 and its oracle_sql() on DuckDB over the same
+parquet; compare row counts, column names, and order-insensitive
+value multisets. Rows-only entries are checked for schema stability +
+nonzero rows."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        rel = con.sql(sql)
+        return rel.columns, rel.fetchall()
+    finally:
+        con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "item"):  # numpy scalar / decimal-ish
+        return _norm_cell(v.item()) if hasattr(v, "item") else v
+    return v
+
+
+def _row_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # key=repr: None-safe total order; equal multisets sort identically
+    return sorted(
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows), key=repr
+    )
+
+
+ORACLED = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLED))
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, name):
+    fn = entrymod.queries()[name]
+    sdf = fn(spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    dcols, drows = _duck(entrymod.oracle_sql()[name])
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    assert _row_multiset(scols, srows) == _row_multiset(dcols, drows), (
+        f"{name}: value multiset differs"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    fn = entrymod.queries()[name]
+    df = fn(spark, SF_DIR)
+    assert len(df.columns) > 0
+    assert df.count() > 0
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0

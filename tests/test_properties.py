@@ -1,0 +1,117 @@
+"""Property-based + invariance tests (SURVEY.md §5.3-4/5):
+
+- canonicalize idempotence over adversarial URL-ish strings
+- Bloom filter: never a false negative (correctness of the sidecar)
+- distribution invariance: the crawl's (seq, url) sequence must be
+  IDENTICAL at different partition counts — the core property that
+  makes the ordering claim survive a 1000-executor cluster
+- checkpoint resume ≡ uninterrupted run
+- skewed corpus (one host holding ~2/3 of pages) crawls identically
+  to the oracle
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from wormpy_spark.fixtures.spark_tables import corpus_to_spark
+from wormpy_spark.fixtures.webgen import generate_corpus
+from wormpy_spark.functions.urlnorm import normalize_url
+from wormpy_spark.operators.seen import Bloom
+from wormpy_spark.oracle import crawl_oracle
+from wormpy_spark.plans.crawl import CrawlConfig, run_crawl
+
+url_like = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters=":/?#.&=_- "),
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(url_like)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent(u):
+    try:
+        once = normalize_url(u)
+    except ValueError:
+        return  # urlparse rejects some garbage; the engine sees pre-parsed URLs
+    assert normalize_url(once) == once
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_bloom_no_false_negatives(keys):
+    b = Bloom.sized(len(keys), fpp=0.01)
+    arr = np.array(keys, dtype=np.int64)
+    b.add(arr)
+    assert b.might_contain(arr).all()
+
+
+@pytest.fixture(scope="module")
+def small_corpus():
+    return generate_corpus(seed=11, n_hosts=2, pages_per_host=12, n_images_per_host=4)
+
+
+def _crawl_order(spark, tables, shuffle_partitions):
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        cfg = CrawlConfig(base_url="https://host0.test", budget=50, politeness_seed=7)
+        res = run_crawl(spark, tables["web"], cfg, sitemaps=tables["sitemaps"])
+        return [(r["seq"], r["url_norm"]) for r in res.order.collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+def test_partition_count_invariance(spark, small_corpus):
+    tables = corpus_to_spark(spark, small_corpus)
+    o2 = _crawl_order(spark, tables, 2)
+    o13 = _crawl_order(spark, tables, 13)
+    assert o2 == o13 and len(o2) > 5
+
+
+def test_resume_equals_uninterrupted(spark, small_corpus, tmp_path):
+    tables = corpus_to_spark(spark, small_corpus)
+    full = run_crawl(
+        spark, tables["web"],
+        CrawlConfig(base_url="https://host0.test", budget=50, politeness_seed=7),
+        sitemaps=tables["sitemaps"],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    run_crawl(
+        spark, tables["web"],
+        CrawlConfig(base_url="https://host0.test", budget=50, politeness_seed=7,
+                    checkpoint_dir=ckpt, max_rounds=1),
+        sitemaps=tables["sitemaps"],
+    )
+    resumed = run_crawl(
+        spark, tables["web"],
+        CrawlConfig(base_url="https://host0.test", budget=50, politeness_seed=7,
+                    checkpoint_dir=ckpt, resume=True),
+        sitemaps=tables["sitemaps"],
+    )
+    assert [r["url_norm"] for r in resumed.order.collect()] == [
+        r["url_norm"] for r in full.order.collect()
+    ]
+    # politeness clocks must survive the resume too
+    full_state = {r["host"]: (r["attempts"], round(r["clock_s"], 6)) for r in full.host_state.collect()}
+    res_state = {r["host"]: (r["attempts"], round(r["clock_s"], 6)) for r in resumed.host_state.collect()}
+    assert full_state == res_state
+
+
+def test_skewed_host_parity(spark):
+    corpus = generate_corpus(
+        seed=23, n_hosts=2, pages_per_host=15, n_images_per_host=4,
+        skew_host=0, skew_factor=3,
+    )
+    tables = corpus_to_spark(spark, corpus)
+    oracle = crawl_oracle(corpus, "https://host0.test", budget=60, politeness_seed=9)
+    res = run_crawl(
+        spark, tables["web"],
+        CrawlConfig(base_url="https://host0.test", budget=60, politeness_seed=9),
+        sitemaps=tables["sitemaps"],
+    )
+    assert [r["url_norm"] for r in res.order.collect()] == oracle.order
+    assert {r["url_norm"] for r in res.seen.collect()} == oracle.seen

@@ -1,0 +1,72 @@
+"""Structured Streaming front-ends: windowed rollup result must equal
+the equivalent batch aggregation; seed ingestion must honor J2
+admission (dedup within batch + anti-join vs seen)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from wormpy_spark.streaming.stream import stream_frontier_ingest, stream_metrics_rollup
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def test_stream_rollup_equals_batch(spark, tmp_path):
+    src = "/root/testdata/sf0.001"
+    # copy events into a dedicated stream-source dir
+    events = spark.read.parquet(f"{src}/events.parquet")
+    srcdir = str(tmp_path / "events_src")
+    events.write.parquet(srcdir)
+
+    out = str(tmp_path / "out")
+    q = stream_metrics_rollup(
+        spark, srcdir, EVENTS_SCHEMA, str(tmp_path / "ckpt"), out
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .collect()
+    }
+    # append mode holds back windows still inside the watermark at end
+    # of stream; everything emitted must match batch exactly, and the
+    # held-back remainder must be only the trailing watermark horizon.
+    assert len(got) > 10
+    for k, v in got.items():
+        assert want[k] == v
+    max_ts = events.agg(F.max("ts")).first()[0]
+    held_back = set(want) - set(got)
+    for ws, _ in held_back:
+        assert (max_ts - ws).total_seconds() <= 3 * 3600, (ws, max_ts)
+
+
+def test_stream_seed_ingest_admission(spark, tmp_path):
+    seeds_dir = tmp_path / "seeds"
+    seeds_dir.mkdir()
+    (seeds_dir / "batch1.txt").write_text(
+        "https://H.test/a/\nhttps://h.test/a?x=1\nhttps://h.test/b\nhttps://h.test/seen1/\n"
+    )
+    seen = spark.createDataFrame(
+        [("https://h.test/seen1",)], "url_norm string"
+    ).withColumn("url_hash", F.xxhash64("url_norm"))
+    out = str(tmp_path / "frontier")
+    q = stream_frontier_ingest(
+        spark, str(seeds_dir), seen, str(tmp_path / "ckpt"), out
+    )
+    q.awaitTermination(120)
+    got = sorted(r["url_norm"] for r in spark.read.parquet(out).collect())
+    # /a and /a?x=1 collapse to one; seen1 is rejected by the anti-join
+    assert got == ["https://h.test/a", "https://h.test/b"]

@@ -1,0 +1,86 @@
+"""Crawl throughput benchmark (BASELINE.json metric: URLs
+fetched+verified per second) at a given parallelism level.
+
+Run as a subprocess per parallelism level so each level gets a fresh
+JVM (Spark masters are fixed per context):
+
+    python -m wormpy_spark.bench_crawl --cpus 8 --corpus /tmp/bench_corpus
+
+The corpus is generated once (deterministically) by bench.py and
+shared by both levels — identical input, identical seed, per the
+sandbox evidence rule for the N→4N scaling criterion.
+
+"Fetched+verified" = crawl pages + per-row image payload verification
+(decode + sha/caption equality) + phash near-dup pairing over the
+fetched images — the full pipeline a crawl round performs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+
+def run(cpus: int, corpus_dir: str, budget: int) -> dict:
+    from .operators.multimodal import decode_verify, phash_neardup_pairs
+    from .plans.crawl import CrawlConfig, run_crawl
+    from .session import get_spark
+
+    spark = get_spark(
+        f"bench_crawl_{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    web = spark.read.parquet(f"{corpus_dir}/web").cache()
+    images = spark.read.parquet(f"{corpus_dir}/images")
+    truth = spark.read.parquet(f"{corpus_dir}/images_truth")
+    web.count()  # warm the cache outside the timed window
+
+    t0 = time.time()
+    cfg = CrawlConfig(
+        base_url="https://host0.test",
+        budget=budget,
+        politeness_seed=42,
+        use_bloom=True,
+    )
+    res = run_crawl(spark, web, cfg)
+    n_pages = res.pages.count()
+
+    # payload verification of fetched images (input_hint per-row invariant)
+    fetched_images = res.pages.filter(F.col("image_id").isNotNull()).select(
+        "image_id"
+    )
+    img_subset = images.join(fetched_images, on="image_id", how="left_semi")
+    ver = decode_verify(img_subset, truth).cache()
+    n_verified = ver.count()
+    n_bad = ver.filter(~(F.col("sha_ok") & F.col("caption_ok"))).count()
+    n_neardup = phash_neardup_pairs(ver.filter(F.col("phash").isNotNull())).count()
+    wall = time.time() - t0
+
+    return {
+        "cpus": cpus,
+        "pages": n_pages,
+        "images_verified": n_verified,
+        "verify_failures": n_bad,
+        "neardup_pairs": n_neardup,
+        "rounds": res.rounds,
+        "wall_s": round(wall, 2),
+        "urls_per_sec": round(n_pages / wall, 2),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--corpus", required=True)
+    ap.add_argument("--budget", type=int, default=10**9)
+    args = ap.parse_args()
+    os.environ["SPARK_GRAFT_CPUS"] = str(args.cpus)
+    print(json.dumps(run(args.cpus, args.corpus, args.budget)))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,7 @@ def generate_corpus(
     n_images_per_host: int = 8,
     skew_host: int | None = None,
     skew_factor: int = 1,
+    branching: int = 3,
 ) -> dict[str, pd.DataFrame]:
     """Returns dict of pandas DataFrames:
     web, images, images_truth, sitemaps, robots, seeds."""
@@ -145,7 +146,11 @@ def generate_corpus(
 
         for j in range(n_pages):
             norm = page_norm(j)
-            children = [c for c in (3 * j + 1, 3 * j + 2, 3 * j + 3) if c < n_pages]
+            children = [
+                c
+                for c in range(branching * j + 1, branching * j + branching + 1)
+                if c < n_pages
+            ]
             hrefs: list[str] = []
             for c in children:
                 cn = page_norm(c)

@@ -1,0 +1,189 @@
+"""Scale-path document deduplication: MinHash + LSH banding.
+
+The brute-force n-gram-jaccard join (plans/analytics.py) is quadratic
+in documents sharing a shingle; at 100 TB the scale path is
+
+    shingle → 64-permutation MinHash signature (one Arrow pass)
+    → 16 bands × 4 rows → band-key explode → bucket self-join
+    → candidate pairs → EXACT jaccard verification on candidates only
+
+LSH makes the candidate set near-linear; the exact verification keeps
+the output identical to brute force (for jaccard ≥ 0.8 with 16×4
+banding the miss probability of a true pair is (1-0.8⁴)¹⁶ ≈ 2·10⁻⁴,
+and ≈ 4·10⁻⁸ at 0.9 — the fixture's near-dup cluster lives ≥ 0.9).
+The DuckDB oracle for this operator is the brute-force SQL, so the
+driver's correctness check validates the LSH recall end-to-end.
+
+MinHash constants are seeded and process-independent (blake2b-derived),
+so signatures are reproducible across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16
+ROWS_PER_BAND = MINHASH_PERMS // LSH_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_constants(seed: int = 0x5EED) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=MINHASH_PERMS, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    words = text.strip().lower().split()
+    if len(words) < n:
+        return set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def _shingle_hash(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") % _MERSENNE
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sig array<long>, n_shingles) via one mapInPandas pass."""
+    a, b = _perm_constants()
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs, counts = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingles(text or "")
+                ids.append(doc_id)
+                counts.append(len(sh))
+                if not sh:
+                    sigs.append([int(_MERSENNE)] * MINHASH_PERMS)
+                    continue
+                x = np.array([_shingle_hash(s) for s in sh], dtype=np.uint64)
+                # h_i(x) = (a_i*x + b_i) mod M, vectorized over perms × shingles
+                hv = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+                sigs.append(hv.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: ids, "sig": sigs, "n_shingles": counts})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        fn, f"{id_col} long, sig array<long>, n_shingles long"
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and self-join on (band_ix, band_key).
+
+    The band key is md5 over the band's concatenated values (JVM-side,
+    no Python). Bucket self-join emits each pair once (id_a < id_b).
+    """
+    bands = signatures.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band_ix"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", (b * ROWS_PER_BAND + r + 1).cast("int")).cast("string")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_ix", "band.band_key")
+    left = bands.alias("a")
+    right = bands.alias("b")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("a.band_ix") == F.col("b.band_ix"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_jaccard_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full pipeline: LSH candidates → exact jaccard verification.
+
+    Output (doc_a, doc_b, inter, union_n) — identical schema/content to
+    the brute-force shingle join at the same threshold (integer-exact
+    comparison: den*inter >= num*union).
+    """
+    sigs = minhash_signatures(docs, text_col, id_col)
+    cand = lsh_candidate_pairs(sigs, id_col)
+
+    # exact verification: explode candidate docs' shingles, count overlap
+    shingle_rows = docs.select(
+        id_col,
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.size(F.split(F.trim(F.lower(text_col)), r"\s+")) - 2,
+                            F.lit(0),
+                        ),
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.split(F.trim(F.lower(text_col)), r"\s+"), i.cast("int")),
+                        F.element_at(F.split(F.trim(F.lower(text_col)), r"\s+"), (i + 1).cast("int")),
+                        F.element_at(F.split(F.trim(F.lower(text_col)), r"\s+"), (i + 2).cast("int")),
+                    ),
+                )
+            )
+        ).alias("sh"),
+    ).filter(F.col("sh").isNotNull())
+    cnt = shingle_rows.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    # restrict the shingle join to candidate docs only (semi-join prune)
+    cand_docs = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .unionByName(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh_c = shingle_rows.join(F.broadcast(cand_docs), on=id_col, how="left_semi")
+
+    inter = (
+        sh_c.alias("x")
+        .join(sh_c.alias("y"), on=[F.col("x.sh") == F.col("y.sh"), F.col(f"x.{id_col}") < F.col(f"y.{id_col}")])
+        .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"))
+        .join(cand, on=["doc_a", "doc_b"], how="left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(cnt.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n", "na"), on="doc_a")
+        .join(cnt.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n", "nb"), on="doc_b")
+        .withColumn("union_n", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.lit(threshold_den) * F.col("inter") >= F.lit(threshold_num) * F.col("union_n"))
+        .select("doc_a", "doc_b", "inter", "union_n")
+    )
+    return out

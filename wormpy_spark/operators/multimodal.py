@@ -1,0 +1,131 @@
+"""Multimodal (image) columns: decode / verify / near-dup plumbing.
+
+Images are opaque ``binary`` columns with typed metadata (the exact
+input_hint shape). The decode step runs our self-contained codecs
+(functions/imageops.py — no Pillow in the container; a real deployment
+swaps the codec table for turbojpeg/PIL without touching the Spark
+plumbing, which is what this module makes real and tested):
+
+- ``decode_verify``: mapInPandas over (images ⋈ truth): decode bytes,
+  check decoded-pixel sha256 + caption equality per row (the
+  BASELINE.json per-row invariant), emit shape + a freshly computed
+  phash. Arrow batches are bounded by maxRecordsPerBatch so fat binary
+  rows never blow executor memory.
+- ``phash_neardup_pairs``: 4-band LSH over the 64-bit phash (hamming
+  ≤ 6 ⇒ at least one 16-bit band equal, pigeonhole) → bucket self-join
+  → exact hamming via JVM-side bit_count. The frontier uses this to
+  prune visually-duplicate fetches (SURVEY.md §4).
+
+Formats without an available codec yield decode_ok=false rather than
+failing the job (the 100 TB posture: bad rows are data, not crashes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.imageops import decode_image, phash64
+
+DECODE_SCHEMA = (
+    "image_id string, fmt string, w int, h int, decode_ok boolean, "
+    "sha_ok boolean, caption_ok boolean, phash long"
+)
+
+
+def decode_verify(images: DataFrame, truth: DataFrame) -> DataFrame:
+    """Per-row payload verification: decode + sha/caption equality."""
+    joined = images.join(
+        truth.select(
+            "image_id",
+            F.col("pixels_sha256").alias("_sha"),
+            F.col("caption").alias("_truth_caption"),
+        ),
+        on="image_id",
+        how="left",
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                out = {
+                    "image_id": r["image_id"],
+                    "fmt": r["fmt"],
+                    "w": int(r["w"]),
+                    "h": int(r["h"]),
+                    "decode_ok": False,
+                    "sha_ok": False,
+                    "caption_ok": r["caption"] == r["_truth_caption"],
+                    "phash": None,
+                }
+                try:
+                    pix = decode_image(bytes(r["bytes"]), r["fmt"])
+                    out["decode_ok"] = pix.shape == (int(r["h"]), int(r["w"]), 3)
+                    out["sha_ok"] = (
+                        hashlib.sha256(pix.tobytes()).hexdigest() == r["_sha"]
+                    )
+                    out["phash"] = phash64(pix)
+                except (KeyError, AssertionError, ValueError):
+                    pass  # unknown/corrupt format → decode_ok=false row
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "fmt", "w", "h", "decode_ok", "sha_ok",
+                "caption_ok", "phash",
+            ])
+
+    return joined.mapInPandas(fn, DECODE_SCHEMA)
+
+
+def phash_neardup_pairs(
+    images: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+) -> DataFrame:
+    """Candidate near-dup pairs via 4×16-bit band LSH + exact hamming.
+
+    Pigeonhole: hamming(a,b) ≤ 6 < 4 bands ⇒ ≥ 1 band with zero
+    differing bits ⇒ the bucket join finds every qualifying pair;
+    bit_count then filters exactly. No quadratic self-join."""
+    bands = images.select(
+        id_col,
+        phash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_ix"),
+                        F.shiftrightunsigned(F.col(phash_col), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, phash_col, "band.band_ix", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_ix") == F.col("b.band_ix"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{phash_col}").bitwiseXOR(F.col(f"b.{phash_col}"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,510 @@
+"""Analytics + training-data-pipeline query registry.
+
+Every entry pairs a Spark implementation with an ANSI-SQL oracle that
+DuckDB runs on the same parquet tables (the driver's correctness gate).
+Cross-engine determinism rules used throughout:
+
+- fingerprints/hashes: md5 (identical hex in both engines) or explicit
+  char-polynomial rolling hashes via Spark ``aggregate()`` /
+  DuckDB ``list_reduce`` with the same modulus — never engine hash()
+- float outputs rounded (2-4 dp) and aliased identically
+- thresshold comparisons on integers where possible (jaccard via
+  ``10*inter >= 8*union`` — exact, no fp)
+- timestamps surfaced as epoch seconds (bigint) to avoid tz/format
+  drift between engines
+
+The relational queries double as the operator-coverage matrix for
+SURVEY.md §2 over the driver's TPC-H-ish corpus: scans/filters (§2.2),
+anti/semi joins (§2.3 J1/J2), first-wins dedup (J5), aggregations
+(§2.4), window ordering/top-k/budget cuts (§2.5), grouping sets, and
+sessionization as the stateful/streaming analogue (§2.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the sf tables as temp views (idempotent)."""
+    for name in TABLES:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def _sql(statement: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(statement)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Relational core (operator coverage over the TPC-H-ish corpus)
+# ---------------------------------------------------------------------------
+
+# Flagship: TPC-H Q1-style pricing summary — partial+final agg, the
+# canonical "does map-side combine + codegen happen" plan.
+Q1_SPARK = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       round(avg(l_discount), 4)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp'2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# Q3-style shipping priority: selective 3-way join + top-k
+Q3_SQL = """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < timestamp'1998-03-15'
+  AND l.l_shipdate  > timestamp'1998-03-15'
+GROUP BY o.o_orderkey, o.o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+# Q5-style local-supplier revenue: 6-way star join, region filter
+Q5_SQL = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey  = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey  = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'REGION0'
+GROUP BY n.n_name
+"""
+
+# J1 analogue: LEFT ANTI — orders whose customer has no high balance
+ANTI_SQL_SPARK = """
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o LEFT ANTI JOIN
+     (SELECT c_custkey FROM customer WHERE c_acctbal > 5000) c
+     ON o.o_custkey = c.c_custkey
+"""
+ANTI_SQL_DUCK = """
+SELECT o.o_orderkey, o.o_custkey
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)
+"""
+
+# LEFT SEMI — customers with at least one finished order
+SEMI_SQL_SPARK = """
+SELECT c.c_custkey, c.c_name
+FROM customer c LEFT SEMI JOIN
+     (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') o
+     ON c.c_custkey = o.o_custkey
+"""
+SEMI_SQL_DUCK = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+# J5 analogue: first-occurrence-wins dedup (window row_number = 1)
+DEDUP_FIRST_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey
+FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) AS rn
+      FROM lineitem)
+WHERE rn = 1
+"""
+
+# O1-O7 analogue: deterministic top-k per group
+TOPK_GROUP_SQL = """
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       round(l_extendedprice, 2) AS price
+FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice DESC,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM lineitem)
+WHERE rn <= 3
+"""
+
+# global budget cut (P9/O7): top 100 orders by totalprice
+GLOBAL_TOPK_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+# cube / grouping sets over lineitem flags
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+# per-host fetch-count analogue (A3): per event_type hourly rollup
+EVENTS_HOURLY_SQL_SPARK = """
+SELECT unix_timestamp(date_trunc('hour', ts)) AS hour_epoch,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+EVENTS_HOURLY_SQL_DUCK = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# stateful/streaming analogue (T1/T4): 30-min-gap sessionization
+SESSION_SQL_SPARK = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN unix_timestamp(ts)
+                   - unix_timestamp(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, sum(new_session) AS n_sessions
+FROM marked GROUP BY user_id
+"""
+SESSION_SQL_DUCK = """
+WITH marked AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts)::BIGINT
+                   - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, sum(new_session) AS n_sessions
+FROM marked GROUP BY user_id
+"""
+
+# running aggregate (window) — last cumulative value per customer
+RUNNING_SQL = """
+SELECT o_custkey, round(max(running), 2) AS final_running
+FROM (SELECT o_custkey,
+             sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS running
+      FROM orders)
+GROUP BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis ops (documents table) — SQL in both engines
+# ---------------------------------------------------------------------------
+
+# exact dedup: content fingerprint groups (md5 is identical hex both engines)
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(text))) AS fingerprint,
+       count(*)               AS n_docs,
+       min(doc_id)            AS min_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+# n-gram (word 3-gram) jaccard near-dup pairs; integer-exact threshold
+NGRAM_JACCARD_SPARK = """
+WITH words AS (
+  SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           explode(transform(sequence(1, size(w) - 2),
+                   i -> concat_ws(' ', element_at(w, i),
+                                       element_at(w, i + 1),
+                                       element_at(w, i + 2)))) AS sh
+    FROM words WHERE size(w) >= 3)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       (ca.n + cb.n - inter) AS union_n
+FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+WHERE 10 * inter >= 8 * (ca.n + cb.n - inter)
+"""
+NGRAM_JACCARD_DUCK = """
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+    FROM words WHERE len(w) >= 3)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter,
+       (ca.n + cb.n - inter) AS union_n
+FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+WHERE 10 * inter >= 8 * (ca.n + cb.n - inter)
+"""
+
+# simhash (32-bit, frequency-weighted) via the shared char-polynomial
+# word hash — bit-identical across engines
+SIMHASH_BITS = 32
+_SIM_BITSUM_SPARK = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN cast(pow(2, {b}) as bigint) ELSE 0 END)"
+    for b in range(SIMHASH_BITS)
+)
+SIMHASH_SPARK = f"""
+WITH words AS (
+  SELECT doc_id, explode(split(trim(lower(text)), '\\\\s+')) AS w FROM documents),
+hashes AS (
+  SELECT doc_id,
+         aggregate(split(w, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % 1000000007) AS h
+  FROM words)
+SELECT doc_id, ({_SIM_BITSUM_SPARK}) AS simhash
+FROM hashes GROUP BY doc_id
+"""
+_SIM_BITSUM_DUCK = " + ".join(
+    f"(CASE WHEN sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) > 0 "
+    f"THEN (2::BIGINT) ** {b} ELSE 0 END)"
+    for b in range(SIMHASH_BITS)
+)
+SIMHASH_DUCK = f"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w FROM documents),
+hashes AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+             (a, c) -> (a * 31 + c) % 1000000007) AS h
+  FROM words)
+SELECT doc_id, ({_SIM_BITSUM_DUCK})::BIGINT AS simhash
+FROM hashes GROUP BY doc_id
+"""
+
+# language-ID: marker-word counting with a deterministic argmax
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "de"],
+    "fr": ["le", "et", "les"],
+    "de": ["der", "die", "und"],
+    "zh": ["wo", "ni", "ta"],
+}
+
+
+def _marker_count(markers: list[str]) -> str:
+    terms = [
+        f"CAST((length(p) - length(replace(p, ' {m} ', ''))) / {len(m) + 2} AS BIGINT)"
+        for m in markers
+    ]
+    return " + ".join(terms)
+
+
+_LANG_COUNTS = ",\n       ".join(
+    f"({_marker_count(ms)}) AS c_{lang}" for lang, ms in _LANG_MARKERS.items()
+)
+_LANG_PRED = (
+    "CASE "
+    + " ".join(
+        f"WHEN c_{lang} >= greatest({', '.join('c_' + o for o in _LANG_MARKERS if o != lang)}) THEN '{lang}'"
+        for lang in _LANG_MARKERS
+    )
+    + " ELSE 'und' END"
+)
+LANG_ID_SQL = f"""
+WITH padded AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+counts AS (
+  SELECT doc_id,
+       {_LANG_COUNTS}
+  FROM padded)
+SELECT doc_id, {_LANG_PRED} AS lang_pred
+FROM counts
+"""
+
+# quality scoring: length/stopword/punctuation features
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
+_STOP_COUNT = _marker_count(_STOPWORDS)
+QUALITY_SQL_SPARK = f"""
+WITH base AS (
+  SELECT doc_id,
+         ' ' || lower(text) || ' ' AS p,
+         size(split(trim(text), '\\\\s+')) AS n_words,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,!?;:]', '')) AS n_punct
+  FROM documents)
+SELECT doc_id, n_words,
+       round(({_STOP_COUNT}) / n_words, 4)             AS stop_ratio,
+       round(n_punct / n_chars, 4)                     AS punct_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.5
+             + (({_STOP_COUNT}) / n_words) * 0.3
+             + (1.0 - n_punct / n_chars) * 0.2, 4)     AS quality_score
+FROM base
+"""
+QUALITY_SQL_DUCK = f"""
+WITH base AS (
+  SELECT doc_id,
+         ' ' || lower(text) || ' ' AS p,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct
+  FROM documents)
+SELECT doc_id, n_words,
+       round(({_STOP_COUNT}) / n_words, 4)             AS stop_ratio,
+       round(n_punct / n_chars, 4)                     AS punct_ratio,
+       round(least(n_words / 100.0, 1.0) * 0.5
+             + (({_STOP_COUNT}) / n_words) * 0.3
+             + (1.0 - n_punct / n_chars) * 0.2, 4)     AS quality_score
+FROM base
+"""
+
+# token counting: whitespace tokens + a chars/4 BPE-ish estimate
+TOKENS_SQL_SPARK = """
+SELECT doc_id,
+       size(split(trim(text), '\\\\s+'))      AS tokens_ws,
+       cast(ceil(length(text) / 4.0) as bigint) AS tokens_bpe_est
+FROM documents
+"""
+TOKENS_SQL_DUCK = """
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS tokens_ws,
+       cast(ceil(length(text) / 4.0) as bigint)        AS tokens_bpe_est
+FROM documents
+"""
+
+# document fingerprint: rolling polynomial hash over word hashes
+FINGERPRINT_SQL_SPARK = """
+SELECT doc_id,
+       aggregate(split(trim(lower(text)), '\\\\s+'), 0L,
+         (acc, w) -> (acc * 37 +
+             aggregate(split(w, ''), 0L,
+                       (a, c) -> (a * 31 + ascii(c)) % 1000000007)
+           ) % 1000000007) AS fp
+FROM documents
+"""
+FINGERPRINT_SQL_DUCK = """
+SELECT doc_id,
+       list_reduce(list_prepend(0::BIGINT,
+         list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+           w -> list_reduce(list_prepend(0::BIGINT,
+                  list_transform(string_split(w, ''), c -> ascii(c)::BIGINT)),
+                  (a, c) -> (a * 31 + c) % 1000000007))),
+         (acc, h) -> (acc * 37 + h) % 1000000007) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (embeddings table)
+# ---------------------------------------------------------------------------
+
+# brute-force cosine: near-dup pairs above threshold (rounded compare)
+EMB_COSINE_SPARK = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * x)) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(aggregate(zip_with(a.embedding, b.embedding,
+                       (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)
+             / (a.nrm * b.nrm), 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(aggregate(zip_with(a.embedding, b.embedding,
+                       (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)
+             / (a.nrm * b.nrm), 4) >= 0.45
+"""
+EMB_COSINE_DUCK = """
+WITH e AS (
+  SELECT vec_id, cast(embedding as double[]) AS v,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(cast(embedding as double[]), x -> x * x)),
+              (a, x) -> a + x)) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.45
+"""
+
+# brute-force ANN top-k for a fixed query vector (vec_id = 0)
+ANN_TOPK_SPARK = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * x)) AS nrm
+  FROM embeddings),
+q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(aggregate(zip_with(embedding, qv, (x, y) -> cast(x as double) * y),
+                       0D, (acc, v) -> acc + v) / (nrm * qn), 4) AS score
+FROM e CROSS JOIN q
+WHERE vec_id <> 0
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+ANN_TOPK_DUCK = """
+WITH e AS (
+  SELECT vec_id, cast(embedding as double[]) AS v,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(cast(embedding as double[]), x -> x * x)),
+              (a, x) -> a + x)) AS nrm
+  FROM embeddings),
+q AS (SELECT v AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(v, qv) / (nrm * qn), 4) AS score
+FROM e CROSS JOIN q
+WHERE vec_id <> 0
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry: name → (spark_fn, duckdb_oracle_sql or None)
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    "q1_pricing_summary": (_sql(Q1_SPARK), Q1_SPARK),
+    "q3_shipping_priority": (_sql(Q3_SQL), Q3_SQL),
+    "q5_region_revenue": (_sql(Q5_SQL), Q5_SQL),
+    "anti_join_orders": (_sql(ANTI_SQL_SPARK), ANTI_SQL_DUCK),
+    "semi_join_customers": (_sql(SEMI_SQL_SPARK), SEMI_SQL_DUCK),
+    "dedup_first_wins": (_sql(DEDUP_FIRST_SQL), DEDUP_FIRST_SQL),
+    "topk_per_group": (_sql(TOPK_GROUP_SQL), TOPK_GROUP_SQL),
+    "global_topk": (_sql(GLOBAL_TOPK_SQL), GLOBAL_TOPK_SQL),
+    "cube_lineitem": (_sql(CUBE_SQL), CUBE_SQL),
+    "events_hourly": (_sql(EVENTS_HOURLY_SQL_SPARK), EVENTS_HOURLY_SQL_DUCK),
+    "events_sessionize": (_sql(SESSION_SQL_SPARK), SESSION_SQL_DUCK),
+    "running_total": (_sql(RUNNING_SQL), RUNNING_SQL),
+    "dedup_exact": (_sql(DEDUP_EXACT_SQL), DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (_sql(NGRAM_JACCARD_SPARK), NGRAM_JACCARD_DUCK),
+    "dedup_simhash": (_sql(SIMHASH_SPARK), SIMHASH_DUCK),
+    "text_lang_id": (_sql(LANG_ID_SQL), LANG_ID_SQL),
+    "text_quality": (_sql(QUALITY_SQL_SPARK), QUALITY_SQL_DUCK),
+    "text_token_count": (_sql(TOKENS_SQL_SPARK), TOKENS_SQL_DUCK),
+    "text_fingerprint": (_sql(FINGERPRINT_SQL_SPARK), FINGERPRINT_SQL_DUCK),
+    "dedup_embedding_cosine": (_sql(EMB_COSINE_SPARK), EMB_COSINE_DUCK),
+    "ann_topk_bruteforce": (_sql(ANN_TOPK_SPARK), ANN_TOPK_DUCK),
+}

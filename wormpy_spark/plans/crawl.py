@@ -83,6 +83,9 @@ class CrawlConfig:
     max_rounds: int = 256
     use_bloom: bool = True
     n_host_shards: int = 64
+    # bloom sidecars only pay off once the seen set dwarfs a round's
+    # frontier; below this the exact anti-join alone is cheaper
+    bloom_min_seen: int = 2000
 
 
 @dataclass
@@ -126,6 +129,19 @@ def run_crawl(
     sitemap_urls: list[str] = []
     metrics_rows: list[dict] = []
 
+    def seen_from_pages(rounds_list: list[int]) -> DataFrame:
+        """The seen set IS the processed pages' keys (J3): read them
+        column-pruned from the per-round pages snapshots instead of
+        rewriting an ever-growing seen table every round (O(total)
+        write per round → O(delta))."""
+        if not rounds_list:
+            return _empty(spark, SEEN_SCHEMA)
+        paths = [f"{catalog.root}/pages/snap-{rr:06d}" for rr in sorted(set(rounds_list))]
+        return (
+            spark.read.parquet(*paths)
+            .select(F.xxhash64("url_norm").alias("url_hash"), "url_norm")
+        )
+
     if config.resume and catalog.latest_round() is not None:
         state = catalog.state()
         assert state["base"] == base, "resume with a different base URL"
@@ -133,7 +149,7 @@ def run_crawl(
         processed = state["processed"]
         sitemap_urls = state.get("sitemap_urls", [])
         frontier = catalog.read(spark, "frontier")
-        seen = catalog.read(spark, "seen")
+        seen = seen_from_pages(catalog.rounds())
         host_state = catalog.read(spark, "host_state")
         metrics_rows = state.get("metrics_rows", [])
     else:
@@ -188,31 +204,32 @@ def run_crawl(
         if robots_filter is not None:
             eligible = eligible.filter(robots_filter(F.col("url_norm")))
 
+        # one computation of the whole filter chain per round: the seq
+        # assignment's count collect materializes it, the fetch reuses it
+        eligible = eligible.persist()
         seqd, n_eligible = assign_global_seq(eligible, PRIORITY_COLS, start=processed)
         if n_eligible == 0:
+            eligible.unpersist()
             break
         due = seqd.filter(F.col("seq") < budget).withColumn(
             "round", F.lit(r).cast("int")
         )
+        due_count = min(n_eligible, budget - processed)
 
         # GET-model fetch join + one Arrow extraction pass (S4-S7, F1-F3)
         joined = due.join(
-            web.drop("url", "host"), on="url_norm", how="left"
+            web.drop("url", "host", "links"), on="url_norm", how="left"
         )
         pages_r_path = catalog.write_table(
             "pages", r, joined.mapInPandas(make_fetch_extract(config.discovery), PAGES_SCHEMA)
         )
         pages_r = spark.read.parquet(pages_r_path)
-        due_count = pages_r.count()
+        eligible.unpersist()
 
-        # seen += processed rows (J3; error rows included, R2/R3)
-        seen_next = seen.unionByName(
-            pages_r.select(
-                F.xxhash64("url_norm").alias("url_hash"), "url_norm"
-            )
-        )
-        seen_path = catalog.write_table("seen", r, seen_next)
-        seen = spark.read.parquet(seen_path)
+        # seen += processed rows (J3; error rows included, R2/R3) —
+        # derived from the pages snapshots, no separate table write
+        pages_rounds.append(r)
+        seen = seen_from_pages(pages_rounds)
 
         # politeness schedule (T1/T2): seeded per-host simulated clock
         sched_in = (
@@ -261,9 +278,10 @@ def run_crawl(
         frontier_path = catalog.write_table("frontier", r, frontier_next)
         frontier = spark.read.parquet(frontier_path)
 
-        n_errors = pages_r.filter(F.col("error").isNotNull()).count()
+        n_errors = pages_r.agg(
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+        ).first()[0]
         processed += due_count
-        pages_rounds.append(r)
         metrics_rows.append(
             {
                 "round": r,
@@ -278,7 +296,6 @@ def run_crawl(
             r,
             {
                 "pages": pages_r_path,
-                "seen": seen_path,
                 "host_state": host_state_path,
                 "frontier": frontier_path,
             },
@@ -292,7 +309,7 @@ def run_crawl(
             },
         )
 
-        if config.use_bloom and processed > 0:
+        if config.use_bloom and processed >= config.bloom_min_seen:
             bloom_bc = spark.sparkContext.broadcast(
                 build_bloom(seen, "url_hash", expected=max(processed * 4, 1024))
             )

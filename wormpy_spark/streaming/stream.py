@@ -1,0 +1,92 @@
+"""Structured Streaming front-ends.
+
+The crawl engine is iterative batch by design (SURVEY.md §7.4: exact
+ordering replay demands deterministic round boundaries — streaming
+micro-batch boundaries are not replayable). This module provides the
+streaming surfaces the engine exposes anyway:
+
+- ``stream_metrics_rollup``: a readStream over an events/metrics table
+  (file source) → watermarked tumbling-window aggregation →
+  writeStream. With ``availableNow`` it processes a bounded backlog
+  and stops — the per-round crawl ``metrics`` table can be tailed live
+  this way on a cluster.
+- ``stream_frontier_ingest``: continuous seed ingestion — new seed
+  files appear in a directory, are canonicalized and deduped against
+  the seen set per micro-batch via foreachBatch (the streaming
+  analogue of J2 admission).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.urlnorm import canonicalize_udf
+
+
+def stream_metrics_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+):
+    """Watermarked tumbling-window rollup over a file-source stream.
+    Returns the started StreamingQuery (availableNow: drains backlog)."""
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    agg = (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            key_col,
+            "n",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_frontier_ingest(
+    spark: SparkSession,
+    seeds_dir: str,
+    seen: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+):
+    """Micro-batch seed admission: canonicalize incoming URLs, dedupe
+    within the batch and against the seen set (J2 semantics), append
+    admitted frontier rows. foreachBatch keeps the anti-join exact."""
+
+    def admit(batch: DataFrame, batch_id: int) -> None:
+        cand = (
+            batch.withColumn("url_norm", canonicalize_udf(F.col("url")))
+            .withColumn("url_hash", F.xxhash64("url_norm"))
+            .dropDuplicates(["url_norm"])
+        )
+        admitted = cand.join(
+            seen.select("url_hash", "url_norm"), on=["url_hash", "url_norm"], how="left_anti"
+        )
+        admitted.write.mode("append").parquet(out_dir)
+
+    src = spark.readStream.schema("url string").text(seeds_dir).withColumnRenamed(
+        "value", "url"
+    )
+    return (
+        src.writeStream.foreachBatch(admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
