@@ -41,9 +41,10 @@ HEADLINE = [
     "ann_topk_bruteforce",
 ]
 
-CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "/tmp/wormpy_bench_corpus")
-BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "8"))
-BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2500"))
+CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "/tmp/wormpy_bench_corpus_v2")
+BENCH_HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "2"))
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "24000"))
+BENCH_SKEW = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW", "16"))
 
 
 def ensure_corpus() -> None:
@@ -61,10 +62,10 @@ def ensure_corpus() -> None:
         seed=99,
         n_hosts=BENCH_HOSTS,
         pages_per_host=BENCH_PAGES,
-        n_images_per_host=100,
+        n_images_per_host=300,
         skew_host=0,
-        skew_factor=2,  # host0 (the crawled host) is the hot/skewed one
-        branching=40,   # wide+shallow: few BSP rounds, fat per-round work
+        skew_factor=BENCH_SKEW,  # host0 (the crawled one) is hot/skewed
+        branching=300,  # wide+shallow: ~4 BSP rounds, fat per-round work
     )
     os.makedirs(CORPUS_DIR, exist_ok=True)
     for name in ("web", "images", "images_truth"):

@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -115,3 +116,49 @@ def test_skewed_host_parity(spark):
     )
     assert [r["url_norm"] for r in res.order.collect()] == oracle.order
     assert {r["url_norm"] for r in res.seen.collect()} == oracle.seen
+
+
+def test_host_throttle_mode(spark, small_corpus):
+    """Production politeness throttle (max k fetches/host/round): caps
+    per-round host load, defers (never drops) — the final seen set and
+    the per-host relative order match the unthrottled run."""
+    tables = corpus_to_spark(spark, small_corpus)
+    base_cfg = dict(base_url="https://host0.test", budget=50, politeness_seed=7)
+    free = run_crawl(spark, tables["web"], CrawlConfig(**base_cfg), sitemaps=tables["sitemaps"])
+    capped = run_crawl(
+        spark, tables["web"],
+        CrawlConfig(**base_cfg, max_per_host_per_round=3),
+        sitemaps=tables["sitemaps"],
+    )
+    per_round = {
+        (r["round"], r["host"]): r["n"]
+        for r in capped.pages.groupBy("round", "host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_round and all(n <= 3 for n in per_round.values())
+    assert {r["url_norm"] for r in capped.seen.collect()} == {
+        r["url_norm"] for r in free.seen.collect()
+    }
+    order_free = [r["url_norm"] for r in free.order.collect()]
+    order_capped = [r["url_norm"] for r in capped.order.collect()]
+    # deferral preserves relative priority within the single host
+    assert order_capped == order_free
+
+
+def test_bloom_engaged_parity(spark, small_corpus):
+    """Force the bloom sidecar on from the first round: results must be
+    identical to the bloom-off run (false positives only re-route rows
+    through the exact anti-join, never drop them)."""
+    tables = corpus_to_spark(spark, small_corpus)
+    base_cfg = dict(base_url="https://host0.test", budget=50, politeness_seed=7)
+    off = run_crawl(
+        spark, tables["web"], CrawlConfig(**base_cfg, use_bloom=False),
+        sitemaps=tables["sitemaps"],
+    )
+    on = run_crawl(
+        spark, tables["web"],
+        CrawlConfig(**base_cfg, use_bloom=True, bloom_min_seen=0),
+        sitemaps=tables["sitemaps"],
+    )
+    assert [r["url_norm"] for r in on.order.collect()] == [
+        r["url_norm"] for r in off.order.collect()
+    ]

@@ -46,12 +46,21 @@ def host_key(host: str) -> int:
     ) >> 1
 
 
-def politeness_delay(seed: int, host: str, attempt_ix: int) -> float:
-    """The U(1,5) draw for the attempt_ix-th attempt against host."""
+def delay_stream(seed: int, host: str, n: int) -> np.ndarray:
+    """The per-host delay stream: one seeded PCG64 per (seed, host),
+    U(1,5) draws indexed by attempt. Stream-based (not per-draw
+    seeding) so the engine can vectorize a whole host's schedule in
+    one RNG call; the oracle slices the same stream."""
     rng = np.random.Generator(
-        np.random.PCG64([seed & 0x7FFFFFFFFFFFFFFF, host_key(host), attempt_ix])
+        np.random.PCG64([seed & 0x7FFFFFFFFFFFFFFF, host_key(host)])
     )
-    return float(rng.uniform(RATE_LIMIT_MIN, RATE_LIMIT_MAX))
+    return rng.uniform(RATE_LIMIT_MIN, RATE_LIMIT_MAX, size=n)
+
+
+def politeness_delay(seed: int, host: str, attempt_ix: int) -> float:
+    """The U(1,5) draw for the attempt_ix-th attempt against host
+    (stream element attempt_ix — O(ix), used by the oracle/tests)."""
+    return float(delay_stream(seed, host, attempt_ix + 1)[attempt_ix])
 
 
 def backoff_debit(fetch_failed_first_attempt: bool) -> float:
@@ -95,16 +104,16 @@ def make_schedule_fn(seed: int):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("seq").reset_index(drop=True)
         host = pdf["host"].iloc[0]
-        ix = int(pdf["start_ix"].iloc[0]) if pd.notna(pdf["start_ix"].iloc[0]) else 0
-        delays, ixs = [], []
-        for n, debit in zip(pdf["draws"], pdf["debit"]):
-            total = sum(politeness_delay(seed, host, ix + d) for d in range(int(n)))
-            delays.append(total + float(debit))
-            ixs.append(ix)
-            ix += int(n)
-        pdf["delay_s"] = delays
-        pdf["attempt_ix"] = ixs
-        pdf["start_ix"] = ix  # next index, aggregated by caller via max
+        start = int(pdf["start_ix"].iloc[0]) if pd.notna(pdf["start_ix"].iloc[0]) else 0
+        draws = pdf["draws"].to_numpy(np.int64)
+        total = int(draws.sum())
+        stream = delay_stream(seed, host, start + total)
+        ends = start + np.cumsum(draws)
+        begins = ends - draws
+        cs = np.concatenate([[0.0], np.cumsum(stream)])
+        pdf["delay_s"] = (cs[ends] - cs[begins]) + pdf["debit"].to_numpy(float)
+        pdf["attempt_ix"] = begins
+        pdf["start_ix"] = start + total  # next index; caller aggregates max
         return pdf
 
     return fn

