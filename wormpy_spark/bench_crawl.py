@@ -44,7 +44,10 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
         shuffle_partitions=fixed_partitions, extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    web = spark.read.parquet(f"{corpus_dir}/web").cache()
+    # repartition before caching: the generator writes few row groups,
+    # and parquet splits at row-group boundaries — without this every
+    # web scan would run at single-digit parallelism no matter the cores
+    web = spark.read.parquet(f"{corpus_dir}/web").repartition(64).cache()
     images = spark.read.parquet(f"{corpus_dir}/images")
     truth = spark.read.parquet(f"{corpus_dir}/images_truth")
     # warm-up outside the timed window: cache the corpus, start the
@@ -80,7 +83,7 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
         checkpoint_dir=ckpt,
     )
     res = run_crawl(spark, web, cfg)
-    n_pages = res.pages.count()
+    n_pages = res.processed  # exact by construction; no extra scan
 
     # payload verification of fetched images (input_hint per-row invariant)
     fetched_images = res.pages.filter(F.col("image_id").isNotNull()).select(

@@ -79,13 +79,18 @@ def dedup_within_round(df: DataFrame, key: str = "url_norm") -> DataFrame:
     """First-occurrence-wins on the priority order: the sequential
     equivalent is pop-skip of later in-pool duplicates via the
     visited-at-pop check (scraper.py:77-79; J2 allows frontier dupes,
-    url_tracker.py:84-87)."""
-    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in PRIORITY_COLS])
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    url_tracker.py:84-87).
+
+    Implemented as min(struct(priority, rest)) — lexicographic struct
+    ordering with the priority triple leading equals the window-rank
+    rule (the triple is unique), and a groupBy-min gets map-side
+    partial aggregation that a row_number window cannot."""
+    rest = [c for c in df.columns if c != key and c not in PRIORITY_COLS]
+    ordered = PRIORITY_COLS + rest
+    agg = df.groupBy(key).agg(
+        F.min(F.struct(*[F.col(c) for c in ordered])).alias("_r")
     )
+    return agg.select(key, *[F.col(f"_r.{c}").alias(c) for c in ordered])
 
 
 def expand_frontier(
@@ -103,17 +108,23 @@ def expand_frontier(
         .filter(F.size("discovered_urls") > 0)
         .select(F.col("seq").alias("parent_seq"), F.explode("discovered_urls").alias("link"))
     )
-    cand = (
-        links.withColumn("url_norm", canonicalize_udf(F.col("link")))
-        .filter(F.col("url_norm").startswith(base_norm))  # scraper.py:102
-        .select("parent_seq", "url_norm")
-        .distinct()  # per-parent set semantics (scraper.py:99)
+    cand = links.withColumn("url_norm", canonicalize_udf(F.col("link"))).filter(
+        F.col("url_norm").startswith(base_norm)  # scraper.py:102
     )
-    w = Window.partitionBy("parent_seq").orderBy("url_norm")
-    return cand.select(
+    # one shuffle instead of distinct + window: collect_set gives the
+    # per-parent set semantics (scraper.py:99) with map-side partial
+    # aggregation, sort_array + posexplode yields the sorted-expansion
+    # sibling order (O4) without a second exchange
+    grouped = cand.groupBy("parent_seq").agg(
+        F.sort_array(F.collect_set("url_norm")).alias("urls")
+    )
+    return grouped.select(
+        "parent_seq",
+        F.posexplode("urls").alias("pos", "url_norm"),
+    ).select(
         F.col("url_norm").alias("url"),
         F.lit(next_round).cast("int").alias("round_enqueued"),
         F.col("parent_seq"),
-        (F.row_number().over(w)).cast("int").alias("sibling_rank"),
+        (F.col("pos") + 1).cast("int").alias("sibling_rank"),
         F.col("url_norm"),
     )

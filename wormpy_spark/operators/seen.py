@@ -96,15 +96,27 @@ def anti_join_seen(
     bloom_broadcast=None,
     hash_col: str = "url_hash",
     key_col: str = "url_norm",
+    seen_count: int | None = None,
+    broadcast_below: int = 100_000,
 ) -> DataFrame:
     """J1/J2: drop candidates already in the seen set.
 
     Exact anti-join on (url_hash, url_norm) — the hash prunes the join
     to 64-bit comparisons, the url_norm equality guards hash collisions.
-    With a bloom sidecar, bloom-negative rows bypass the shuffle
-    entirely; bloom-positive rows take the exact anti-join.
+    Strategy ladder (event-log driven: repeated driver broadcasts of a
+    growing key set measured as the top cost in early builds):
+    - tiny seen (< ~100k keys): broadcast anti-join, no shuffle at all;
+    - larger seen + bloom sidecar: bloom-negative candidates bypass the
+      join entirely (no shuffle), bloom-positives take the exact
+      shuffle anti-join — the bitmap broadcast is ~1 MB/450k keys vs
+      tens of MB for raw keys;
+    - fallback: plain shuffle anti-join.
     """
     seen_keys = seen.select(hash_col, key_col)
+    if seen_count is not None and seen_count < broadcast_below:
+        return candidates.join(
+            F.broadcast(seen_keys), on=[hash_col, key_col], how="left_anti"
+        )
     if bloom_broadcast is None:
         return candidates.join(seen_keys, on=[hash_col, key_col], how="left_anti")
 

@@ -83,10 +83,10 @@ class CrawlConfig:
     max_rounds: int = 256
     use_bloom: bool = True
     n_host_shards: int = 64
-    # bloom sidecars only pay off once the seen set dwarfs a round's
-    # frontier (the 10^8-10^10 regime); below this the exact anti-join
-    # alone is cheaper than building+broadcasting a bitmap per round
-    bloom_min_seen: int = 200_000
+    # below this, the seen keys broadcast whole (anti_join_seen); above
+    # it the bloom sidecar takes over as the no-shuffle pre-filter —
+    # its bitmap broadcast is ~30x smaller than the raw keys
+    bloom_min_seen: int = 100_000
     # production politeness throttle: at most k fetches per host per
     # round; excess rows are DEFERRED to the next round with their
     # priority preserved (not dropped). None = reference semantics
@@ -105,6 +105,7 @@ class CrawlResult:
     sitemap_urls: list[str] = field(default_factory=list)
     rounds: int = 0
     checkpoint_dir: str | None = None
+    processed: int = 0
 
 
 def _empty(spark: SparkSession, schema: str) -> DataFrame:
@@ -190,15 +191,21 @@ def run_crawl(
             F.pmod(F.xxhash64(F.col("host")), F.lit(config.n_host_shards)).cast("int"),
         )
         in_scope = f.filter(F.col("url_norm").startswith(base))  # P4
-        not_seen = anti_join_seen(in_scope, seen, bloom_bc)       # J1
+        not_seen = anti_join_seen(in_scope, seen, bloom_bc, seen_count=processed)  # J1
         deduped = dedup_within_round(not_seen)                    # J2 equiv.
 
         # P5/P6 — HEAD-model probe: only suspicious URLs consult the
-        # content type; image/* are skipped (scraper.py:81-84)
+        # content type; image/* are skipped (scraper.py:81-84).
+        # Semi-prune the probe table by the (tiny) suspicious key set
+        # first — otherwise the planner broadcasts the full probe
+        # projection every round.
         susp = deduped.filter(suspicious_pred(F.col("url_norm")))
         rest = deduped.filter(~suspicious_pred(F.col("url_norm")))
+        probe_small = probe.join(
+            F.broadcast(susp.select("url_norm")), on="url_norm", how="left_semi"
+        )
         susp_kept = (
-            susp.join(probe, on="url_norm", how="left")
+            susp.join(F.broadcast(probe_small), on="url_norm", how="left")
             .filter(
                 F.col("_probe_ct").isNull()
                 | ~F.col("_probe_ct").startswith("image/")
@@ -238,16 +245,22 @@ def run_crawl(
         due_count = min(n_eligible, budget - processed)
 
         # GET-model fetch join + one Arrow extraction pass (S4-S7, F1-F3).
-        # Strategy: broadcast-semi prune — broadcast the due KEYS (tiny)
-        # to filter the web scan, so page bodies are never shuffled or
-        # broadcast for rows that aren't fetched this round; the pruned
-        # web subset (≤ due rows) then left-joins due cheaply. This is
-        # the runtime-filter pattern; at cluster scale the same role is
-        # played by a bloom pushdown into the bucketed web scan.
-        web_pruned = web.drop("url", "host", "links").join(
-            F.broadcast(due.select("url_norm")), on="url_norm", how="left_semi"
-        )
-        joined = due.join(web_pruned, on="url_norm", how="left")
+        # Strategy by round size:
+        # - small rounds: broadcast-semi prune — broadcast the due KEYS
+        #   (tiny) to filter the web scan, so page bodies are never
+        #   shuffled or broadcast for rows not fetched this round (the
+        #   runtime-filter pattern; at cluster scale a bloom pushdown
+        #   into the bucketed web scan plays this role);
+        # - big rounds: a plain shuffle join parallelizes better than
+        #   building and shipping a multi-MB broadcast from the driver.
+        web_fetch = web.drop("url", "host", "links")
+        if due_count <= 50_000:
+            web_fetch = web_fetch.join(
+                F.broadcast(due.select("url_norm")), on="url_norm", how="left_semi"
+            )
+            joined = due.join(web_fetch, on="url_norm", how="left")
+        else:
+            joined = due.join(web_fetch.hint("shuffle_hash"), on="url_norm", how="left")
         from pyspark.sql import Observation
 
         obs = Observation(f"round_{r}")
@@ -263,12 +276,24 @@ def run_crawl(
         # derived from the pages snapshots, no separate table write
         pages_rounds.append(r)
         seen = seen_from_pages(pages_rounds)
+        processed_next = processed + due_count
+
+        # bloom sidecar build happens HERE (covering seen through round
+        # r) so both this round's expansion admission and next round's
+        # frontier filter can use it — a stale bitmap would mark round-r
+        # URLs "definitely unseen" and wrongly admit them
+        if config.use_bloom and processed_next >= config.bloom_min_seen:
+            bloom_bc = spark.sparkContext.broadcast(
+                build_bloom(seen, "url_hash", expected=max(processed_next * 4, 1024))
+            )
 
         # expansions → next frontier (J2/J4/O4)
         if config.discovery:
             cand = expand_frontier(pages_r, base, next_round=r + 1)
             cand = cand.withColumn("url_hash", F.xxhash64(F.col("url_norm")))
-            admitted = anti_join_seen(cand, seen, None).drop("url_hash", "url_norm")
+            admitted = anti_join_seen(
+                cand, seen, bloom_bc, seen_count=processed_next
+            ).drop("url_hash", "url_norm")
             frontier_next = admitted.select(
                 "url", "round_enqueued", "parent_seq", "sibling_rank"
             )
@@ -281,7 +306,7 @@ def run_crawl(
         frontier_path = catalog.write_table("frontier", r, frontier_next)
         frontier = spark.read.parquet(frontier_path)
 
-        processed += due_count
+        processed = processed_next
         metrics_rows.append(
             {
                 "round": r,
@@ -308,10 +333,6 @@ def run_crawl(
             },
         )
 
-        if config.use_bloom and processed >= config.bloom_min_seen:
-            bloom_bc = spark.sparkContext.broadcast(
-                build_bloom(seen, "url_hash", expected=max(processed * 4, 1024))
-            )
         r += 1
 
     # assemble results across rounds
@@ -361,4 +382,5 @@ def run_crawl(
         sitemap_urls=sitemap_urls,
         rounds=r,
         checkpoint_dir=catalog.root,
+        processed=processed,
     )
