@@ -169,7 +169,11 @@ def minhash_lsh_jaccard_pairs(
         .unionByName(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh_c = shingle_rows.join(F.broadcast(cand_docs), on=id_col, how="left_semi")
+    # persisted: the pair self-join references this twice (x and y
+    # aliases) and would otherwise recompute the shingle explode twice
+    sh_c = shingle_rows.join(
+        F.broadcast(cand_docs), on=id_col, how="left_semi"
+    ).persist()
 
     inter = (
         sh_c.alias("x")
