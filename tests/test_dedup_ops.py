@@ -1,0 +1,105 @@
+"""Regression tests for the dedup/near-dup scale operators:
+
+- MinHash-LSH must not crash on documents with <3 words (ADVICE r1:
+  sequence(1, size-2) steps DOWN when size<=2 and element_at threw)
+- phash band LSH must find pairs whose differing bits are SPREAD across
+  bands (ADVICE r1: 4x16-bit bands only guaranteed recall for
+  hamming<=3; now 8x8-bit bands cover the default max_hamming=6)
+- the bloom sidecar branch of anti_join_seen must genuinely execute
+  when configured on (ADVICE r1: the broadcast short-circuit made it
+  unreachable below 100k seen keys)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from wormpy_spark.operators.dedup import minhash_lsh_jaccard_pairs
+from wormpy_spark.operators.multimodal import phash_neardup_pairs
+from wormpy_spark.operators.seen import Bloom, anti_join_seen, build_bloom
+
+
+def test_minhash_lsh_short_docs_no_crash(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base + " kilo"),          # true near-dup of 0
+            (2, "two words"),              # <3 words: zero shingles
+            (3, "one"),                    # 1 word
+            (4, ""),                       # empty
+            (5, "totally different words about oceans and forests here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_lsh_jaccard_pairs(spark, docs).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert (0, 1) in pairs
+    # short docs never appear in any pair
+    assert all(a not in (2, 3, 4) and b not in (2, 3, 4) for a, b in pairs)
+
+
+def _brute_pairs(phashes: dict[str, int], max_h: int) -> set[tuple[str, str]]:
+    ids = sorted(phashes)
+    return {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(phashes[a] ^ phashes[b]).count("1") <= max_h
+    }
+
+
+def test_phash_neardup_spread_bits_exact_recall(spark):
+    """Pairs with differing bits spread one-per-16-bit-band (the case
+    the 4-band scheme provably missed) + random controls: band LSH
+    output must equal brute force exactly."""
+    base = 0x5A5A_1234_ABCD_0F0F
+    phashes = {
+        "a0": base,
+        # 4 differing bits, one in each former 16-bit band → old miss
+        "a1": base ^ (1 << 3) ^ (1 << 19) ^ (1 << 35) ^ (1 << 51),
+        # 6 differing bits spread across six 8-bit bands
+        "a2": base ^ (1 << 1) ^ (1 << 9) ^ (1 << 17) ^ (1 << 25) ^ (1 << 33) ^ (1 << 41),
+        # 7 differing bits → excluded at max_hamming=6
+        "a3": base ^ 0x7F,
+    }
+    rng = np.random.Generator(np.random.PCG64(17))
+    for i in range(40):
+        phashes[f"r{i}"] = int(rng.integers(0, 2**63, dtype=np.int64))
+    df = spark.createDataFrame(
+        [(k, v - (1 << 64) if v >= 1 << 63 else v) for k, v in phashes.items()],
+        "image_id string, phash long",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in phash_neardup_pairs(df, max_hamming=6).collect()
+    }
+    want = _brute_pairs(
+        {k: v & ((1 << 64) - 1) for k, v in phashes.items()}, 6
+    )
+    assert ("a0", "a1") in got and ("a0", "a2") in got
+    assert ("a0", "a3") not in got
+    assert got == want
+
+
+def test_anti_join_seen_bloom_branch_executes(spark):
+    """With broadcast_below=0 + a bloom sidecar, the bloom pre-filter
+    branch must be the one that runs (plan contains the maybe_seen UDF)
+    and the result must equal the exact anti-join."""
+    seen = spark.createDataFrame(
+        [(i,) for i in range(0, 100, 2)], "k long"
+    ).select(F.xxhash64(F.col("k").cast("string")).alias("url_hash"),
+             F.col("k").cast("string").alias("url_norm"))
+    cand = spark.createDataFrame(
+        [(i,) for i in range(100)], "k long"
+    ).select(F.xxhash64(F.col("k").cast("string")).alias("url_hash"),
+             F.col("k").cast("string").alias("url_norm"))
+    bloom = build_bloom(seen, "url_hash", expected=256)
+    assert isinstance(bloom, Bloom)
+    bc = spark.sparkContext.broadcast(bloom)
+    out = anti_join_seen(cand, seen, bc, seen_count=50, broadcast_below=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "maybe_seen" in plan, "bloom pre-filter branch did not execute"
+    got = sorted(int(r["url_norm"]) for r in out.collect())
+    assert got == sorted(range(1, 100, 2))

@@ -54,11 +54,13 @@ def _page_html(
     meta_desc: str,
     og_title: str,
     ld_name: str,
+    include_title: bool = True,
 ) -> str:
     anchors = "\n".join(
         f'<a href="{h}">link {i}</a>' for i, h in enumerate(hrefs)
     )
-    return f"""<html><head><title>{title}</title>
+    title_tag = f"<title>{title}</title>" if include_title else ""
+    return f"""<html><head>{title_tag}
 <meta name="description" content="{meta_desc}">
 <meta property="og:title" content="{og_title}">
 <script type="application/ld+json">{{"@type": "WebPage", "name": "{ld_name}"}}</script>
@@ -206,6 +208,8 @@ def generate_corpus(
                 f"desc {host} {j}",
                 f"og {host} {j}",
                 f"ld {host} {j}",
+                include_title=(j != 3),  # one titleless page per host:
+                # the reference still emits metadata['title'] = None
             )
             dynamic_body = None
             dynamic_links = None

@@ -156,7 +156,7 @@ def extract_text(html: str) -> str:
     return "\n".join(line for line in stripped if line)
 
 
-def extract_meta(html: str, content_type: str, url: str) -> dict[str, str]:
+def extract_meta(html: str, content_type: str, url: str) -> dict[str, str | None]:
     """F3: metadata dict; values coerced to strings (the engine's pages
     table uses map<string,string>; ld+json kept as a JSON string)."""
     meta: dict[str, str] = {"url": url, "content_type": content_type}
@@ -193,8 +193,9 @@ def extract_meta(html: str, content_type: str, url: str) -> dict[str, str]:
             walk_all(child)
 
     walk_all(root)
-    if title_holder:
-        meta["title"] = title_holder[0]
+    # the reference sets metadata['title'] unconditionally for text/html
+    # (None when no <title> exists, content_processor.py:156)
+    meta["title"] = title_holder[0] if title_holder else None
     for raw in schema_holder:
         try:
             meta["schema_org"] = json.dumps(json.loads(raw), sort_keys=True)

@@ -138,29 +138,29 @@ def minhash_lsh_jaccard_pairs(
     sigs = minhash_signatures(docs, text_col, id_col)
     cand = lsh_candidate_pairs(sigs, id_col)
 
-    # exact verification: explode candidate docs' shingles, count overlap
-    shingle_rows = docs.select(
-        id_col,
-        F.explode_outer(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1),
-                        F.greatest(
-                            F.size(F.split(F.trim(F.lower(text_col)), r"\s+")) - 2,
-                            F.lit(0),
-                        ),
-                    ),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.split(F.trim(F.lower(text_col)), r"\s+"), i.cast("int")),
-                        F.element_at(F.split(F.trim(F.lower(text_col)), r"\s+"), (i + 1).cast("int")),
-                        F.element_at(F.split(F.trim(F.lower(text_col)), r"\s+"), (i + 2).cast("int")),
-                    ),
-                )
+    # exact verification: explode candidate docs' shingles, count overlap.
+    # Docs with <3 words have no shingles: guard BEFORE the transform —
+    # sequence(1, size-2) steps DOWN to [1, 0] when size<=2 and
+    # element_at(w, 0) throws (same guard the SQL oracle applies via
+    # WHERE size(w) >= 3).
+    w = F.split(F.trim(F.lower(text_col)), r"\s+")
+    shingle_arr = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i.cast("int")),
+                    F.element_at(w, (i + 1).cast("int")),
+                    F.element_at(w, (i + 2).cast("int")),
+                ),
             )
-        ).alias("sh"),
-    ).filter(F.col("sh").isNotNull())
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingle_rows = docs.select(id_col, F.explode_outer(shingle_arr).alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
     cnt = shingle_rows.groupBy(id_col).agg(F.count("*").alias("n"))
 
     # restrict the shingle join to candidate docs only (semi-join prune)

@@ -40,18 +40,26 @@ def assign_global_seq(
     start: int = 0,
     seq_col: str = "seq",
     n_partitions: int | None = None,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, DataFrame]:
     """Dense 0-based global sequence in (order_cols) order, offset by
     ``start``. Scales: range partition → local rank → offset map.
     ``order_cols`` must be a total order (the priority triple is unique
-    by construction). Returns (df_with_seq, row_count) — the count is a
-    free by-product of the offset computation."""
+    by construction). Returns (df_with_seq, row_count, cache_handle) —
+    the count is a free by-product of the offset computation.
+
+    The ranged DataFrame is PERSISTED here and returned as the third
+    element: repartitionByRange samples its boundaries per execution
+    (RDD-id-seeded), so without the cache the counts job and the
+    downstream job could place a boundary row in different partitions,
+    corrupting the offsets. The counts collect materializes the cache;
+    the caller must unpersist the handle once downstream results are
+    materialized."""
     order_cols = order_cols or PRIORITY_COLS
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets: dict[int, int] = {}
     acc = start
@@ -60,7 +68,7 @@ def assign_global_seq(
         acc += counts[pid]
     total = acc - start
     if not offsets:  # empty input — keep the schema, no rows
-        return ranged.drop("_pid").withColumn(seq_col, F.lit(0).cast("long")), 0
+        return ranged.drop("_pid").withColumn(seq_col, F.lit(0).cast("long")), 0, ranged
     mapping = F.create_map(
         *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
     )
@@ -72,7 +80,7 @@ def assign_global_seq(
         )
         .drop("_pid")
     )
-    return out, total
+    return out, total, ranged
 
 
 def dedup_within_round(df: DataFrame, key: str = "url_norm") -> DataFrame:

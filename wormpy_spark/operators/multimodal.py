@@ -11,10 +11,11 @@ plumbing, which is what this module makes real and tested):
   BASELINE.json per-row invariant), emit shape + a freshly computed
   phash. Arrow batches are bounded by maxRecordsPerBatch so fat binary
   rows never blow executor memory.
-- ``phash_neardup_pairs``: 4-band LSH over the 64-bit phash (hamming
-  ≤ 6 ⇒ at least one 16-bit band equal, pigeonhole) → bucket self-join
-  → exact hamming via JVM-side bit_count. The frontier uses this to
-  prune visually-duplicate fetches (SURVEY.md §4).
+- ``phash_neardup_pairs``: 8-band LSH over the 64-bit phash (hamming
+  ≤ 7 ⇒ at most 7 bands carry a differing bit ⇒ at least one of the 8
+  8-bit bands is equal, pigeonhole) → bucket self-join → exact hamming
+  via JVM-side bit_count. The frontier uses this to prune
+  visually-duplicate fetches (SURVEY.md §4).
 
 Formats without an available codec yield decode_ok=false rather than
 failing the job (the 100 TB posture: bad rows are data, not crashes).
@@ -81,17 +82,26 @@ def decode_verify(images: DataFrame, truth: DataFrame) -> DataFrame:
     return joined.mapInPandas(fn, DECODE_SCHEMA)
 
 
+PHASH_BANDS = 8  # 8 bands × 8 bits over the 64-bit phash
+
+
 def phash_neardup_pairs(
     images: DataFrame,
     max_hamming: int = 6,
     id_col: str = "image_id",
     phash_col: str = "phash",
 ) -> DataFrame:
-    """Candidate near-dup pairs via 4×16-bit band LSH + exact hamming.
+    """Candidate near-dup pairs via 8×8-bit band LSH + exact hamming.
 
-    Pigeonhole: hamming(a,b) ≤ 6 < 4 bands ⇒ ≥ 1 band with zero
-    differing bits ⇒ the bucket join finds every qualifying pair;
-    bit_count then filters exactly. No quadratic self-join."""
+    Pigeonhole: hamming(a,b) ≤ max_hamming < 8 bands ⇒ at least one
+    band has zero differing bits ⇒ the bucket join finds every
+    qualifying pair (exact recall requires max_hamming ≤ 7; larger
+    radii would need more bands); bit_count then filters exactly.
+    No quadratic self-join."""
+    if max_hamming >= PHASH_BANDS:
+        raise ValueError(
+            f"exact recall needs max_hamming < {PHASH_BANDS} bands; got {max_hamming}"
+        )
     bands = images.select(
         id_col,
         phash_col,
@@ -100,11 +110,11 @@ def phash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_ix"),
-                        F.shiftrightunsigned(F.col(phash_col), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col(phash_col), 8 * b)
+                        .bitwiseAND(F.lit(0xFF))
                         .alias("band_val"),
                     )
-                    for b in range(4)
+                    for b in range(PHASH_BANDS)
                 ]
             )
         ).alias("band"),

@@ -1,18 +1,41 @@
-"""Approximate nearest-neighbor search over embedding columns.
+"""Embedding similarity: ANN search + all-pairs near-dup scale paths.
 
 Baseline: brute-force cosine top-k (plans/analytics.py, SQL both
-engines). Scale path here: random-hyperplane LSH —
+engines). Scale paths here:
 
-    embedding → 16-bit signature (one Arrow pass, seeded hyperplanes)
-    → candidate filter: popcount(sig XOR query_sig) ≤ r   (JVM-side
-      bit_count on a 16-bit int — no Python, no shuffle; at cluster
-      scale the signature is a partition/bucket key so the probe reads
-      only matching buckets instead of scanning 100 TB)
-    → exact cosine re-rank of the candidate set → top-k
+1. Single-query ANN (``ann_lsh_topk``): random-hyperplane LSH —
+   embedding → 16-bit signature (one Arrow pass, seeded hyperplanes)
+   → candidate filter: popcount(sig XOR query_sig) ≤ r (JVM-side
+   bit_count — no Python, no shuffle; at cluster scale the signature
+   is a partition/bucket key so the probe reads only matching buckets)
+   → exact cosine re-rank → top-k. With r wide enough the result
+   equals brute force (driver-verified against the brute-force SQL
+   oracle); shrinking r trades recall for scan fraction.
 
-With r wide enough the result equals brute force (verified by the
-driver against the brute-force SQL oracle); shrinking r trades recall
-for scan fraction, which is the knob a 10^10-row deployment tunes.
+2. All-pairs EXACT (``cosine_pairs_blocked``): block-matrix join.
+   Exact all-pairs cosine is information-theoretically Θ(n²)
+   comparisons — no bucketing can prune pairs exactly when qualifying
+   pairs are statistically indistinguishable from the background (the
+   sf corpus is isotropic Gaussian: pairs at the 0.45 threshold ARE
+   the distribution tail). What scale engineering buys is executing
+   those Θ(n²) FLOPs at hardware speed: partition vectors into B
+   blocks, replicate each block to its B partner-groups (the standard
+   Θ(n·√P) communication of distributed matrix multiply), and compute
+   each block-pair's full cosine matrix with one BLAS GEMM instead of
+   a per-pair zip_with expression — 2-3 orders of magnitude more
+   FLOPs/s than row-at-a-time SQL evaluation, with no quadratic-row
+   join in the plan (the quadratic object lives only inside numpy).
+
+3. All-pairs LSH (``cosine_pairs_lsh``): banded hyperplane signatures
+   (64 bands × 4 bits) → band-bucket self-join → exact cosine verify
+   on candidates only. Recall is probabilistic: a pair at cosine t
+   collides in a band w.p. (1-acos(t)/π)⁴; missing ALL 64 bands at
+   t=0.45 has probability (1-0.6486⁴)⁶⁴ ≈ 3.7e-6 (vanishing for
+   higher t). This is the recall/cost knob real dedup pipelines turn;
+   on corpora with genuine near-dup structure (t ≥ 0.8) the candidate
+   set is near-linear, while on adversarially isotropic data it
+   degenerates toward all pairs — which is exactly case 2's lower
+   bound, hence both paths ship.
 """
 
 from __future__ import annotations

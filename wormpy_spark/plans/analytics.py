@@ -190,6 +190,8 @@ WITH marked AS (
 SELECT user_id, sum(new_session) AS n_sessions
 FROM marked GROUP BY user_id
 """
+# sum(int) is HUGEINT in DuckDB (arrow decimal128) but BIGINT in Spark;
+# the driver's row hash is type-sensitive, so cast explicitly.
 SESSION_SQL_DUCK = """
 WITH marked AS (
   SELECT user_id,
@@ -199,7 +201,7 @@ WITH marked AS (
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events)
-SELECT user_id, sum(new_session) AS n_sessions
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions
 FROM marked GROUP BY user_id
 """
 
@@ -421,20 +423,26 @@ FROM documents
 # Embedding similarity (embeddings table)
 # ---------------------------------------------------------------------------
 
-# brute-force cosine: near-dup pairs above threshold (rounded compare)
+# brute-force cosine: near-dup pairs above threshold (rounded compare).
+# The dot product is computed ONCE per pair: explode(array(...)) makes
+# cos_sim a Generate output, and Catalyst cannot push a predicate into
+# a generated column — a plain subquery alias would be re-inlined by
+# PushPredicateThroughNonJoin and the aggregate would run twice (once
+# in Filter, once in Project), doubling the per-pair cost.
 EMB_COSINE_SPARK = """
 WITH e AS (
   SELECT vec_id, embedding,
          sqrt(aggregate(embedding, 0D, (a, x) -> a + cast(x as double) * x)) AS nrm
   FROM embeddings)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(aggregate(zip_with(a.embedding, b.embedding,
+SELECT vec_a, vec_b, cos_sim
+FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         explode(array(round(
+             aggregate(zip_with(a.embedding, b.embedding,
                        (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)
-             / (a.nrm * b.nrm), 4) AS cos_sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE round(aggregate(zip_with(a.embedding, b.embedding,
-                       (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)
-             / (a.nrm * b.nrm), 4) >= 0.45
+             / (a.nrm * b.nrm), 4))) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+WHERE cos_sim >= 0.45
 """
 EMB_COSINE_DUCK = """
 WITH e AS (

@@ -191,7 +191,10 @@ def run_crawl(
             F.pmod(F.xxhash64(F.col("host")), F.lit(config.n_host_shards)).cast("int"),
         )
         in_scope = f.filter(F.col("url_norm").startswith(base))  # P4
-        not_seen = anti_join_seen(in_scope, seen, bloom_bc, seen_count=processed)  # J1
+        not_seen = anti_join_seen(  # J1
+            in_scope, seen, bloom_bc,
+            seen_count=processed, broadcast_below=config.bloom_min_seen,
+        )
         deduped = dedup_within_round(not_seen)                    # J2 equiv.
 
         # P5/P6 — HEAD-model probe: only suspicious URLs consult the
@@ -233,11 +236,14 @@ def run_crawl(
             ).drop("_hr")
 
         # one computation of the whole filter chain per round: the seq
-        # assignment's count collect materializes it, the fetch reuses it
-        eligible = eligible.persist()
-        seqd, n_eligible = assign_global_seq(eligible, PRIORITY_COLS, start=processed)
+        # assignment persists its range-partitioned output (also pinning
+        # the partitioning so offsets stay valid — see assign_global_seq),
+        # its count collect materializes the cache, and the fetch reuses it
+        seqd, n_eligible, seq_cache = assign_global_seq(
+            eligible, PRIORITY_COLS, start=processed
+        )
         if n_eligible == 0:
-            eligible.unpersist()
+            seq_cache.unpersist()
             break
         due = seqd.filter(F.col("seq") < budget).withColumn(
             "round", F.lit(r).cast("int")
@@ -270,7 +276,7 @@ def run_crawl(
         pages_r_path = catalog.write_table("pages", r, pages_out)
         n_errors = int(obs.get["errors"] or 0)  # free: rides the write job
         pages_r = spark.read.parquet(pages_r_path)
-        eligible.unpersist()
+        seq_cache.unpersist()
 
         # seen += processed rows (J3; error rows included, R2/R3) —
         # derived from the pages snapshots, no separate table write
@@ -292,7 +298,8 @@ def run_crawl(
             cand = expand_frontier(pages_r, base, next_round=r + 1)
             cand = cand.withColumn("url_hash", F.xxhash64(F.col("url_norm")))
             admitted = anti_join_seen(
-                cand, seen, bloom_bc, seen_count=processed_next
+                cand, seen, bloom_bc,
+                seen_count=processed_next, broadcast_below=config.bloom_min_seen,
             ).drop("url_hash", "url_norm")
             frontier_next = admitted.select(
                 "url", "round_enqueued", "parent_seq", "sibling_rank"
