@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_simhash",
     "text_fingerprint",
     "dedup_embedding_cosine",
+    "dedup_embedding_blocked",
+    "dedup_embedding_lsh",
     "ann_topk_bruteforce",
 ]
 

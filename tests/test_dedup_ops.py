@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from wormpy_spark.operators.dedup import minhash_lsh_jaccard_pairs
 from wormpy_spark.operators.multimodal import phash_neardup_pairs
-from wormpy_spark.operators.seen import Bloom, anti_join_seen, build_bloom
+from wormpy_spark.operators.seen import Bloom, anti_join_seen, build_bloom_shards
 
 
 def test_minhash_lsh_short_docs_no_crash(spark):
@@ -84,20 +84,23 @@ def test_phash_neardup_spread_bits_exact_recall(spark):
 
 
 def test_anti_join_seen_bloom_branch_executes(spark):
-    """With broadcast_below=0 + a bloom sidecar, the bloom pre-filter
-    branch must be the one that runs (plan contains the maybe_seen UDF)
-    and the result must equal the exact anti-join."""
-    seen = spark.createDataFrame(
-        [(i,) for i in range(0, 100, 2)], "k long"
-    ).select(F.xxhash64(F.col("k").cast("string")).alias("url_hash"),
-             F.col("k").cast("string").alias("url_norm"))
-    cand = spark.createDataFrame(
-        [(i,) for i in range(100)], "k long"
-    ).select(F.xxhash64(F.col("k").cast("string")).alias("url_hash"),
-             F.col("k").cast("string").alias("url_norm"))
-    bloom = build_bloom(seen, "url_hash", expected=256)
-    assert isinstance(bloom, Bloom)
-    bc = spark.sparkContext.broadcast(bloom)
+    """With broadcast_below=0 + a sharded bloom sidecar, the bloom
+    pre-filter branch must be the one that runs (plan contains the
+    maybe_seen UDF), per-shard bitmaps must be built and consulted, and
+    the result must equal the exact anti-join."""
+    def keyed(df):
+        return df.select(
+            F.xxhash64(F.col("k").cast("string")).alias("url_hash"),
+            F.col("k").cast("string").alias("url_norm"),
+            F.pmod(F.col("k"), F.lit(4)).cast("int").alias("host_shard"),
+        )
+
+    seen = keyed(spark.createDataFrame([(i,) for i in range(0, 100, 2)], "k long"))
+    cand = keyed(spark.createDataFrame([(i,) for i in range(100)], "k long"))
+    shards = build_bloom_shards(seen, "url_hash", "host_shard", expected_per_shard=64)
+    assert set(shards) == {0, 2}  # even keys → even shards only
+    assert all(isinstance(b, Bloom) for b in shards.values())
+    bc = spark.sparkContext.broadcast(shards)
     out = anti_join_seen(cand, seen, bc, seen_count=50, broadcast_below=0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "maybe_seen" in plan, "bloom pre-filter branch did not execute"

@@ -190,9 +190,10 @@ def generate_corpus(
             if rng.random() < 0.35:
                 img_id = images.iloc[int(rng.integers(0, len(images)))]["image_id"]
                 hrefs.append(f"/img/{img_id}")
-            # pdf + dangling html link
+            # pdfs + dangling html link
             if j == 1:
                 hrefs.append("/doc/report1.pdf")
+                hrefs.append("/doc/report2.pdf")
             if rng.random() < 0.06:
                 hrefs.append(f"/missing/{j}")               # dangling → R2
 
@@ -300,12 +301,28 @@ def generate_corpus(
                 bytes(img["bytes"]),
                 image_id=img["image_id"],
             )
-        # one pdf per host (stub text between BT/ET markers)
+        # two pdfs per host: a marker-style body (stub-extractor path)
+        # and a REAL linear PDF with a Flate-compressed content stream
+        # (pdf_text's zlib path, reference F4 parity)
         pdf_text = f"annual report of {host} " + _filler(rng, 30)
         add_simple(
             f"{base}/doc/report1.pdf",
             "application/pdf",
             (f"%PDF-1.4\nBT {pdf_text} ET\n%%EOF").encode(),
+        )
+        import zlib
+
+        pdf2_text = f"compressed report of {host}: " + _filler(rng, 20)
+        content = f"BT /F1 12 Tf 72 712 Td ({pdf2_text}) Tj ET".encode()
+        comp = zlib.compress(content)
+        add_simple(
+            f"{base}/doc/report2.pdf",
+            "application/pdf",
+            b"%PDF-1.4\n1 0 obj\n<< /Length "
+            + str(len(comp)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n"
+            + comp
+            + b"\nendstream\nendobj\ntrailer\n%%EOF\n",
         )
 
         # --- sitemaps (S2/S3) ----------------------------------------------

@@ -26,6 +26,7 @@ batch, never per row.
 from __future__ import annotations
 
 import json
+import re
 from html.parser import HTMLParser
 
 import pandas as pd
@@ -205,8 +206,9 @@ def extract_meta(html: str, content_type: str, url: str) -> dict[str, str | None
 
 
 def pdf_stub_text(body: bytes) -> str:
-    """Stub PDF text extractor shared by engine and oracle (PyPDF2 is
-    absent offline — FIXTURES.md PDF note): text between BT/ET markers."""
+    """Stub PDF text extractor (FIXTURES.md PDF note): text between
+    bare BT/ET markers — the fallback when pdf_text finds no real
+    content streams."""
     try:
         text = body.decode("utf-8", errors="replace")
         start = text.find("BT ")
@@ -216,6 +218,69 @@ def pdf_stub_text(body: bytes) -> str:
     except Exception:
         pass
     return ""
+
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
+_TEXTBLOCK_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# (string) Tj | (string) ' | [ ... ] TJ — the operators PyPDF2's
+# extract_text reads for simple (non-CMap) fonts
+_SHOW_RE = re.compile(rb"\((?:[^()\\]|\\.)*\)|\]\s*TJ|\bTJ\b|\bTj\b|'")
+_PDF_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _pdf_string(raw: bytes) -> bytes:
+    """Decode one (...) literal: strip parens, resolve \\-escapes."""
+    s = raw[1:-1]
+    out = bytearray()
+    i = 0
+    while i < len(s):
+        c = s[i : i + 1]
+        if c == b"\\" and i + 1 < len(s):
+            nxt = s[i + 1 : i + 2]
+            if nxt.isdigit():  # octal \ddd (up to 3 digits)
+                j = i + 1
+                while j < min(i + 4, len(s)) and s[j : j + 1].isdigit():
+                    j += 1
+                out.append(int(s[i + 1 : j], 8) & 0xFF)
+                i = j
+                continue
+            out += _PDF_ESCAPES.get(nxt, nxt)
+            i += 2
+            continue
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def pdf_text(body: bytes) -> str:
+    """Minimal REAL PDF text extraction (reference parity target:
+    PyPDF2 page.extract_text over all pages, content_processor.py:
+    236-268; PyPDF2 is absent offline so this is a from-scratch
+    reader for linear PDFs): find every stream object, inflate
+    /FlateDecode streams with stdlib zlib, then collect the strings
+    shown by Tj / ' / TJ operators inside BT..ET text blocks. Falls
+    back to the BT/ET stub for the fixture's marker-style bodies."""
+    import zlib
+
+    pieces: list[str] = []
+    for m in _STREAM_RE.finditer(body):
+        params, data = m.group(1), m.group(2)
+        if b"/FlateDecode" in params:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                continue
+        for block in _TEXTBLOCK_RE.finditer(data):
+            for tok in _SHOW_RE.finditer(block.group(1)):
+                t = tok.group(0)
+                if t.startswith(b"("):
+                    pieces.append(_pdf_string(t).decode("latin-1"))
+    if pieces:
+        return "".join(pieces).strip()
+    return pdf_stub_text(body)
 
 
 def is_dynamic_content(html: str, threshold: int = 500) -> bool:

@@ -20,7 +20,6 @@ so signatures are reproducible across runs and partitionings.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -49,28 +48,60 @@ def _shingles(text: str, n: int = 3) -> set[str]:
 
 
 def _shingle_hash(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") % _MERSENNE
+    """Reference point for tests: hash of ONE shingle (must equal the
+    batch path below)."""
+    return int(_hash_shingle_batch([s])[0])
+
+
+def _hash_shingle_batch(shingles: list[str]) -> np.ndarray:
+    """Vectorized shingle hashing: FNV-1a over utf-8 bytes (uint64
+    wraparound) folded into [0, MERSENNE). One numpy Horner sweep over
+    byte COLUMNS replaces a per-shingle Python hashlib call — the CPU
+    floor of signature computation at corpus scale (VERDICT r1 §5)."""
+    if not shingles:
+        return np.empty(0, np.uint64)
+    enc = [s.encode() for s in shingles]
+    lens = np.fromiter((len(e) for e in enc), np.int64, len(enc))
+    width = int(lens.max()) if len(lens) else 0
+    flat = np.frombuffer(b"".join(enc), np.uint8)
+    buf = np.zeros((len(enc), width), np.uint64)
+    rows = np.repeat(np.arange(len(enc)), lens)
+    cols = np.arange(len(flat)) - np.repeat(np.cumsum(lens) - lens, lens)
+    buf[rows, cols] = flat
+    h = np.full(len(enc), 0xCBF29CE484222325, np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(width):
+        active = lens > j
+        nh = (h ^ buf[:, j]) * prime
+        h = np.where(active, nh, h)
+    return h % np.uint64(_MERSENNE)
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, sig array<long>, n_shingles) via one mapInPandas pass."""
+    """(doc_id, sig array<long>, n_shingles) via one mapInPandas pass.
+    All shingles of a batch are hashed in ONE vectorized sweep; only
+    the per-doc min-reduce walks documents."""
     a, b = _perm_constants()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sigs, counts = [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                sh = _shingles(text or "")
-                ids.append(doc_id)
-                counts.append(len(sh))
-                if not sh:
+            per_doc = [sorted(_shingles(t or "")) for t in pdf[text_col]]
+            counts = np.fromiter((len(s) for s in per_doc), np.int64, len(per_doc))
+            all_hashes = _hash_shingle_batch([s for doc in per_doc for s in doc])
+            sigs = []
+            off = 0
+            for n in counts:
+                if n == 0:
                     sigs.append([int(_MERSENNE)] * MINHASH_PERMS)
                     continue
-                x = np.array([_shingle_hash(s) for s in sh], dtype=np.uint64)
-                # h_i(x) = (a_i*x + b_i) mod M, vectorized over perms × shingles
+                x = all_hashes[off : off + n]
+                off += int(n)
+                # h_i(x) = (a_i*x + b_i) mod M over perms × shingles
                 hv = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE)
                 sigs.append(hv.min(axis=1).astype(np.int64).tolist())
-            yield pd.DataFrame({id_col: ids, "sig": sigs, "n_shingles": counts})
+            yield pd.DataFrame(
+                {id_col: list(pdf[id_col]), "sig": sigs, "n_shingles": counts}
+            )
 
     return docs.select(id_col, text_col).mapInPandas(
         fn, f"{id_col} long, sig array<long>, n_shingles long"
@@ -135,7 +166,9 @@ def minhash_lsh_jaccard_pairs(
     the brute-force shingle join at the same threshold (integer-exact
     comparison: den*inter >= num*union).
     """
-    sigs = minhash_signatures(docs, text_col, id_col)
+    # persisted: the band self-join references the signature DF on both
+    # sides — without the cache the mapInPandas pass runs twice
+    sigs = minhash_signatures(docs, text_col, id_col).persist()
     cand = lsh_candidate_pairs(sigs, id_col)
 
     # exact verification: explode candidate docs' shingles, count overlap.
@@ -161,7 +194,6 @@ def minhash_lsh_jaccard_pairs(
     shingle_rows = docs.select(id_col, F.explode_outer(shingle_arr).alias("sh")).filter(
         F.col("sh").isNotNull()
     )
-    cnt = shingle_rows.groupBy(id_col).agg(F.count("*").alias("n"))
 
     # restrict the shingle join to candidate docs only (semi-join prune)
     cand_docs = (
@@ -174,6 +206,9 @@ def minhash_lsh_jaccard_pairs(
     sh_c = shingle_rows.join(
         F.broadcast(cand_docs), on=id_col, how="left_semi"
     ).persist()
+    # shingle counts are only consumed for candidate docs — derive them
+    # from the pruned+persisted set, not a second full-corpus pass
+    cnt = sh_c.groupBy(id_col).agg(F.count("*").alias("n"))
 
     inter = (
         sh_c.alias("x")

@@ -10,7 +10,8 @@ everything the reference's ``process_page`` does
 - dynamic trigger: extracted text < 500 chars → selenium-model body +
   DOM links take precedence (:113-119, :55, :270-287)
 - metadata / text / link extraction (F1-F3)
-- PDF branch via the shared stub extractor (F4, offline)
+- PDF branch via the from-scratch Flate-capable extractor, stub
+  fallback for marker-style bodies (F4)
 - unsupported-type literal text (F7, :52)
 - R2 fetch-failure rows: metadata=None, content=None, discovered=[]
   (:58-60 + scraper.py:107-113)
@@ -20,9 +21,12 @@ One Arrow pass means body bytes cross the JVM↔Python boundary exactly
 once per row; the output columns are small (text/meta/links), so the
 shuffle that follows never carries raw bodies.
 
-A live-mode ``mapInPandas`` fetcher (real HTTP, batched) is stubbed at
-the bottom — same output schema, gated on the requests library, not
-exercisable in the sandbox.
+Live mode (bottom): the same mapInPandas shape over a pluggable
+transport — one connection pool per executor task, timeout/retry/
+backoff per the reference config, identical output schema. The
+transport is injectable so the full success/retry/failure matrix is
+unit-tested offline (tests/test_live_fetch.py); deployment swaps in
+``requests_transport``.
 """
 
 from __future__ import annotations
@@ -36,7 +40,7 @@ from ..functions.extract import (
     extract_meta,
     extract_text,
     is_dynamic_content,
-    pdf_stub_text,
+    pdf_text,
 )
 from ..functions.urlnorm import is_pdf_path
 from ..operators.politeness import MAX_RETRIES
@@ -121,7 +125,7 @@ def process_row(row: dict, discovery: bool) -> dict:
         discovered = fetched_urls if fetched_urls else extract_links(body, norm, ctype)
     elif ctype.lower() == "application/pdf" or is_pdf_path(norm):
         out["metadata"] = {"url": norm, "content_type": ctype}
-        out["text"] = pdf_stub_text(bytes(row["body"]))
+        out["text"] = pdf_text(bytes(row["body"]))
         discovered = set()
     else:
         out["metadata"] = {"url": norm, "content_type": ctype}
@@ -151,25 +155,108 @@ def make_fetch_extract(discovery: bool):
 
 
 # ---------------------------------------------------------------------------
-# Live mode (real HTTP) — same schema, batched; NOT exercisable offline.
+# Live mode (real HTTP) — same schema, batched, transport-injectable.
 # ---------------------------------------------------------------------------
 
-def make_live_fetch(discovery: bool, timeout: float = 10.0):
-    """Arrow-batched real fetcher: each executor task GETs its batch of
-    URLs (requests, REQUEST_TIMEOUT=10 per config.py:25) and runs the
-    same extraction. Raises if the requests library is unavailable."""
+REQUEST_TIMEOUT = 10.0   # reference config.py:25
+LIVE_MAX_ATTEMPTS = 2    # raise_for_status + one retry (content_processor.py:62-133)
+BACKOFF_BASE_S = 1.0     # sleep before the retry
+
+
+class TransportError(Exception):
+    """Connection-level failure (DNS, refused, timeout)."""
+
+
+def requests_transport(timeout: float = REQUEST_TIMEOUT):
+    """Default live transport: a requests.Session per executor task.
+    Returns get(url) -> (status:int, content_type:str|None, body:bytes);
+    raises TransportError on connection-level failures."""
+    import requests
+
+    session = requests.Session()
+
+    def get(url: str) -> tuple[int, str | None, bytes]:
+        try:
+            r = session.get(url, timeout=timeout)
+        except requests.RequestException as e:
+            raise TransportError(str(e)) from e
+        ctype = (r.headers.get("Content-Type") or "").split(";")[0].strip() or None
+        return r.status_code, ctype, r.content
+
+    return get
+
+
+def fetch_live_row(
+    row: dict, discovery: bool, get, sleep=None
+) -> dict:
+    """One frontier row fetched over the injected transport, then fed
+    through the SAME extraction as the offline join (process_row) by
+    synthesizing the equivalent web-row fields. Retry/backoff per the
+    reference: up to LIVE_MAX_ATTEMPTS total attempts, backoff between
+    (content_processor.py:62-133); dynamic pages need a browser, which
+    live batch mode does not carry — they fail like a Selenium miss.
+    """
+    sleep = sleep or (lambda s: None)
+    status: int | None = None
+    ctype: str | None = None
+    body: bytes = b""
+    attempts = 0
+    first_failed = False
+    for attempt in range(LIVE_MAX_ATTEMPTS):
+        attempts += 1
+        try:
+            status, ctype, body = get(row["url_norm"])
+        except TransportError:
+            status = None
+        if status == 200:
+            break
+        first_failed = first_failed or attempt == 0
+        if attempt + 1 < LIVE_MAX_ATTEMPTS:
+            sleep(BACKOFF_BASE_S * (attempt + 1))
+
+    synthetic = {
+        **row,
+        "status": status,
+        "content_type": ctype,
+        "body": body,
+        "fail_attempts": 0 if status == 200 else MAX_RETRIES,
+        "selenium_fail_attempts": 0,
+        "raise_in_loop": False,
+        "dynamic_body": None,   # no browser in live batch mode
+        "dynamic_links": None,
+        "image_id": None,
+    }
+    out = process_row(synthetic, discovery)
+    out["attempts"] = attempts
+    out["fetch_failed_first"] = first_failed
+    return out
+
+
+def make_live_fetch(
+    discovery: bool,
+    transport_factory=requests_transport,
+    sleep=None,
+):
+    """Arrow-batched live fetcher over the due frontier (no web join):
+    each executor task builds ONE transport (connection pool) and GETs
+    its batch sequentially — per-host politeness is enforced upstream
+    by the scheduler, so a batch is already rate-shaped. Output schema
+    and semantics are identical to the offline fixture join."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import requests  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "live fetch requires the 'requests' library; offline runs "
-                "use the web-fixture join instead"
-            ) from e
-        raise NotImplementedError(
-            "live HTTP fetch is stubbed in the sandbox (no network); "
-            "the offline fixture join exercises identical semantics"
-        )
+        get = transport_factory()
+        for pdf in batches:
+            rows = [
+                fetch_live_row(r, discovery, get, sleep)
+                for r in pdf.to_dict("records")
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "seq", "round", "url_norm", "host", "host_shard",
+                    "content_type", "text", "metadata", "discovered_urls",
+                    "error", "image_id", "attempts", "fetch_failed_first",
+                ],
+            )
 
     return fn

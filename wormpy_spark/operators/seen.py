@@ -13,9 +13,12 @@ authoritative). Bloom false positives therefore cost only join work,
 never correctness: BASELINE.json demands the exact seen set, and a
 Bloom-only check would wrongly drop URLs.
 
-Scale: the bitmap is ~1.2 GB per 10^9 keys at 1% FPP — per host-shard
-sidecars broadcast to matching tasks on a real cluster; in the sandbox
-one broadcast bitmap suffices.
+Scale: the bitmap is ~1.2 GB per 10^9 keys at 1% FPP — so the sidecar
+is SHARDED by host_shard (pmod(xxhash64(host), n_host_shards)): each
+shard's bitmap covers only its hosts' keys, no single driver-resident
+bitmap spans the whole seen set, and on a real cluster each task needs
+only the shard bitmaps of the hosts it processes (host-hash
+partitioning makes that exactly one shard per task).
 """
 
 from __future__ import annotations
@@ -90,6 +93,48 @@ def build_bloom(seen: DataFrame, hash_col: str, expected: int, fpp: float = 0.01
     return out
 
 
+def build_bloom_shards(
+    seen: DataFrame,
+    hash_col: str,
+    shard_col: str,
+    expected_per_shard: int,
+    fpp: float = 0.01,
+) -> dict[int, Bloom]:
+    """Per-host-shard sidecar build: each partition emits one partial
+    bitmap PER SHARD it holds; the driver ORs partials shard-wise. No
+    bitmap ever covers more than one shard's keys, so the per-object
+    memory stays bounded no matter the total seen count (the 10^9-key
+    posture: ~1.2 GB total splits into n_shards independently
+    broadcastable pieces)."""
+    proto = Bloom.sized(expected_per_shard, fpp)
+    n_bits, n_hashes = proto.n_bits, proto.n_hashes
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, Bloom] = {}
+        for pdf in batches:
+            for shard, grp in pdf.groupby(shard_col):
+                b = acc.setdefault(int(shard), Bloom(n_bits, n_hashes))
+                b.add(grp[hash_col].to_numpy(np.int64))
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "shard": list(acc),
+                    "bits": [b.bits.tobytes() for b in acc.values()],
+                }
+            )
+
+    parts = (
+        seen.select(hash_col, shard_col)
+        .mapInPandas(partial, "shard int, bits binary")
+        .collect()
+    )
+    out: dict[int, Bloom] = {}
+    for row in parts:
+        b = out.setdefault(int(row["shard"]), Bloom(n_bits, n_hashes))
+        b.bits |= np.frombuffer(row["bits"], np.uint8)
+    return out
+
+
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
@@ -98,6 +143,7 @@ def anti_join_seen(
     key_col: str = "url_norm",
     seen_count: int | None = None,
     broadcast_below: int = 100_000,
+    shard_col: str = "host_shard",
 ) -> DataFrame:
     """J1/J2: drop candidates already in the seen set.
 
@@ -105,11 +151,13 @@ def anti_join_seen(
     to 64-bit comparisons, the url_norm equality guards hash collisions.
     Strategy ladder (event-log driven: repeated driver broadcasts of a
     growing key set measured as the top cost in early builds):
-    - tiny seen (< ~100k keys): broadcast anti-join, no shuffle at all;
+    - tiny seen (< broadcast_below keys): broadcast anti-join, no
+      shuffle at all;
     - larger seen + bloom sidecar: bloom-negative candidates bypass the
       join entirely (no shuffle), bloom-positives take the exact
       shuffle anti-join — the bitmap broadcast is ~1 MB/450k keys vs
-      tens of MB for raw keys;
+      tens of MB for raw keys. The sidecar is a dict of per-host-shard
+      bitmaps (build_bloom_shards); candidates must carry ``shard_col``;
     - fallback: plain shuffle anti-join.
     """
     seen_keys = seen.select(hash_col, key_col)
@@ -124,11 +172,22 @@ def anti_join_seen(
     from pyspark.sql.types import BooleanType
 
     @pandas_udf(BooleanType())
-    def maybe_seen(hashes: pd.Series) -> pd.Series:
-        b: Bloom = bloom_broadcast.value
-        return pd.Series(b.might_contain(hashes.to_numpy(np.int64)))
+    def maybe_seen(hashes: pd.Series, shards: pd.Series) -> pd.Series:
+        blooms: dict[int, Bloom] = bloom_broadcast.value
+        h = hashes.to_numpy(np.int64)
+        s = shards.to_numpy(np.int64)
+        out = np.zeros(len(h), dtype=bool)
+        for shard in np.unique(s):
+            b = blooms.get(int(shard))
+            if b is None:
+                continue  # no key of this shard ever seen → all unseen
+            m = s == shard
+            out[m] = b.might_contain(h[m])
+        return pd.Series(out)
 
-    flagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col(hash_col)))
+    flagged = candidates.withColumn(
+        "_maybe_seen", maybe_seen(F.col(hash_col), F.col(shard_col))
+    )
     definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     checked = suspects.join(seen_keys, on=[hash_col, key_col], how="left_anti")

@@ -113,3 +113,180 @@ def ann_lsh_topk(
         id_col, F.round(dot / (nrm * F.lit(qn)), 4).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# All-pairs near-dup: exact blocked GEMM + banded-LSH scale paths
+# ---------------------------------------------------------------------------
+
+def cosine_pairs_blocked(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_blocks: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold via block-matrix join.
+
+    Each vector (block i = id mod B) is replicated to its B
+    partner-groups (min(i,j), max(i,j)); each group computes its full
+    cosine sub-matrix with one float64 GEMM and emits only qualifying
+    pairs. Output identical to the brute-force SQL (vec_a < vec_b,
+    cos rounded to 4 dp, threshold on the rounded value). The plan has
+    no quadratic-row join — the Θ(n²/B²) object per task lives inside
+    numpy at BLAS speed; communication is Θ(n·B) (pick B ≈ √cores;
+    hierarchical blocking extends this to clusters)."""
+    B = n_blocks
+
+    blocked = emb.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(B)).cast("int").alias("_b"),
+    )
+    # one row per (vector, partner group): B distinct groups per vector
+    grouped = blocked.select(
+        "_id",
+        "_vec",
+        "_b",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(B - 1)),
+                lambda j: F.struct(
+                    F.least(F.col("_b"), j).cast("int").alias("bi"),
+                    F.greatest(F.col("_b"), j).cast("int").alias("bj"),
+                ),
+            )
+        ).alias("_g"),
+    ).select("_id", "_vec", "_b", "_g.bi", "_g.bj")
+
+    def gemm(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(key[0]), int(key[1])
+        ids = pdf["_id"].to_numpy(np.int64)
+        vecs = np.stack(pdf["_vec"].map(lambda v: np.asarray(v, np.float64)))
+        nrm = np.sqrt((vecs * vecs).sum(axis=1))
+        if bi == bj:
+            a_ids, b_ids, av, bv, an, bn = ids, ids, vecs, vecs, nrm, nrm
+        else:
+            is_a = pdf["_b"].to_numpy() == bi
+            a_ids, b_ids = ids[is_a], ids[~is_a]
+            av, bv = vecs[is_a], vecs[~is_a]
+            an, bn = nrm[is_a], nrm[~is_a]
+        if len(a_ids) == 0 or len(b_ids) == 0:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        cos = np.round((av @ bv.T) / np.outer(an, bn), 4)
+        if bi == bj:
+            # both orientations exist in the square matrix: keep the
+            # id_a < id_b one (also removes self-pairs)
+            mask = (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
+        else:
+            # each cross-block pair appears exactly once, in whatever
+            # id orientation — keep all, orient below
+            mask = cos >= threshold
+        ai, bj_ix = np.nonzero(mask)
+        ia, ib = a_ids[ai], b_ids[bj_ix]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "cos_sim": cos[ai, bj_ix],
+            }
+        )
+
+    return grouped.groupBy("bi", "bj").applyInPandas(
+        gemm, "vec_a long, vec_b long, cos_sim double"
+    )
+
+
+APLSH_BANDS = 64
+APLSH_BITS_PER_BAND = 4
+
+
+def add_banded_signatures(
+    emb: DataFrame, dim: int, vec_col: str = "embedding", seed: int = 0xBA17D
+) -> DataFrame:
+    """256-bit hyperplane signature per vector, emitted as 64 4-bit
+    band values (one Arrow pass; bands become JVM join keys)."""
+    n_bits = APLSH_BANDS * APLSH_BITS_PER_BAND
+    rng = np.random.Generator(np.random.PCG64([seed, dim]))
+    planes = rng.standard_normal((n_bits, dim))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, np.float64)))
+            bits = (vecs @ planes.T > 0).astype(np.int64)  # (n, 256)
+            bands = bits.reshape(len(pdf), APLSH_BANDS, APLSH_BITS_PER_BAND)
+            vals = (bands << np.arange(APLSH_BITS_PER_BAND)).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "bands": list(vals.astype(np.int32)),
+                }
+            )
+
+    return emb.mapInPandas(fn, "vec_id long, bands array<int>")
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold via banded hyperplane LSH +
+    exact verification of candidates only.
+
+    Recall bound: a pair at cosine t shares a 4-bit band w.p.
+    p(t)⁴ with p(t) = 1 - acos(t)/π; missing all 64 bands happens
+    w.p. (1-p(t)⁴)⁶⁴ — 3.7e-6 at t=0.45, < 1e-17 at t=0.9. The band
+    join is a bucketed equi-join (no O(n²) operator in the plan); its
+    selectivity is the data's dup structure — isotropic corpora
+    degenerate toward all-pairs, which is the exact method's
+    information-theoretic floor anyway (see module docstring)."""
+    first = emb.select(vec_col).first()
+    dim = len(first[vec_col])
+    sigs = add_banded_signatures(
+        emb.select(F.col(id_col).cast("long").alias("vec_id"), vec_col), dim, vec_col
+    )
+    bands = sigs.select(
+        "vec_id",
+        F.posexplode("bands").alias("band_ix", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_ix") == F.col("b.band_ix"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+    e = emb.select(
+        F.col(id_col).cast("long").alias("_eid"),
+        F.col(vec_col).alias("_v"),
+        F.sqrt(
+            F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+        ).alias("_nrm"),
+    )
+    paired = (
+        cand.join(e.select(F.col("_eid").alias("vec_a"), F.col("_v").alias("_va"),
+                           F.col("_nrm").alias("_na")), on="vec_a")
+        .join(e.select(F.col("_eid").alias("vec_b"), F.col("_v").alias("_vb"),
+                       F.col("_nrm").alias("_nb")), on="vec_b")
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # explode(array(...)): cos_sim is a Generate output, so the filter
+    # cannot be pushed into a duplicate of the aggregate (computed once)
+    verified = paired.select(
+        "vec_a", "vec_b",
+        F.explode(F.array(F.round(dot / (F.col("_na") * F.col("_nb")), 4))).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= threshold)
+    return verified.select("vec_a", "vec_b", "cos_sim")

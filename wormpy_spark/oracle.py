@@ -46,7 +46,7 @@ from .functions.extract import (
     extract_meta,
     extract_text,
     is_dynamic_content,
-    pdf_stub_text,
+    pdf_text,
 )
 from .functions.urlnorm import (
     get_domain,
@@ -231,7 +231,7 @@ def crawl_oracle(
             discovered = fetched_urls if fetched_urls else extract_links(body, norm, ctype)
         elif ctype.lower() == "application/pdf" or is_pdf_path(norm):
             metadata = {"url": norm, "content_type": ctype}
-            text = pdf_stub_text(bytes(row["body"]))
+            text = pdf_text(bytes(row["body"]))
             discovered = set()
         else:
             metadata = {"url": norm, "content_type": ctype}

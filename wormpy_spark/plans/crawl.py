@@ -63,11 +63,11 @@ from ..operators.frontier import (
 )
 from ..operators.politeness import SCHEDULE_SCHEMA, make_schedule_fn
 from ..operators.robots import RobotsCache, robots_allows_udf
-from ..operators.seen import anti_join_seen, build_bloom
+from ..operators.seen import anti_join_seen, build_bloom_shards
 from ..sources.catalog import SnapshotCatalog
 from ..sources.sitemap import expand_sitemaps
 
-SEEN_SCHEMA = "url_hash long, url_norm string"
+SEEN_SCHEMA = "url_hash long, url_norm string, host_shard int"
 HOST_STATE_SCHEMA = "host string, next_ix long, clock_s double, attempts long"
 
 
@@ -134,6 +134,17 @@ def run_crawl(
     # the probe scan reads only url_norm + content_type)
     probe = web.select("url_norm", F.col("content_type").alias("_probe_ct"))
 
+    # fetch side prepared ONCE: hash-partitioned on the join key and
+    # persisted, so every round's fetch join exchanges only the (tiny)
+    # due side — page BODIES cross a shuffle exactly once per crawl,
+    # not once per round (the dominant memory-bandwidth cost measured
+    # in round-1 event logs). On a cluster this is the bucketed-table
+    # layout of the web snapshot.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    web_fetch = (
+        web.drop("url", "host", "links").repartition(n_part, "url_norm").persist()
+    )
+
     sitemap_urls: list[str] = []
     metrics_rows: list[dict] = []
 
@@ -147,7 +158,11 @@ def run_crawl(
         paths = [f"{catalog.root}/pages/snap-{rr:06d}" for rr in sorted(set(rounds_list))]
         return (
             spark.read.parquet(*paths)
-            .select(F.xxhash64("url_norm").alias("url_hash"), "url_norm")
+            .select(
+                F.xxhash64("url_norm").alias("url_hash"),
+                "url_norm",
+                "host_shard",
+            )
         )
 
     if config.resume and catalog.latest_round() is not None:
@@ -253,18 +268,18 @@ def run_crawl(
         # GET-model fetch join + one Arrow extraction pass (S4-S7, F1-F3).
         # Strategy by round size:
         # - small rounds: broadcast-semi prune — broadcast the due KEYS
-        #   (tiny) to filter the web scan, so page bodies are never
-        #   shuffled or broadcast for rows not fetched this round (the
+        #   (tiny) to filter the cached web partitions, so page bodies
+        #   are never broadcast for rows not fetched this round (the
         #   runtime-filter pattern; at cluster scale a bloom pushdown
         #   into the bucketed web scan plays this role);
-        # - big rounds: a plain shuffle join parallelizes better than
-        #   building and shipping a multi-MB broadcast from the driver.
-        web_fetch = web.drop("url", "host", "links")
+        # - big rounds: co-partitioned hash join against the persisted
+        #   web cache — only the due keys are exchanged, the cached
+        #   body partitions stream in place.
         if due_count <= 50_000:
-            web_fetch = web_fetch.join(
+            web_small = web_fetch.join(
                 F.broadcast(due.select("url_norm")), on="url_norm", how="left_semi"
             )
-            joined = due.join(web_fetch, on="url_norm", how="left")
+            joined = due.join(web_small, on="url_norm", how="left")
         else:
             joined = due.join(web_fetch.hint("shuffle_hash"), on="url_norm", how="left")
         from pyspark.sql import Observation
@@ -290,17 +305,33 @@ def run_crawl(
         # URLs "definitely unseen" and wrongly admit them
         if config.use_bloom and processed_next >= config.bloom_min_seen:
             bloom_bc = spark.sparkContext.broadcast(
-                build_bloom(seen, "url_hash", expected=max(processed_next * 4, 1024))
+                build_bloom_shards(
+                    seen,
+                    "url_hash",
+                    "host_shard",
+                    expected_per_shard=max(
+                        processed_next * 4 // config.n_host_shards, 1024
+                    ),
+                )
             )
 
         # expansions → next frontier (J2/J4/O4)
         if config.discovery:
             cand = expand_frontier(pages_r, base, next_round=r + 1)
-            cand = cand.withColumn("url_hash", F.xxhash64(F.col("url_norm")))
+            cand = (
+                cand.withColumn("url_hash", F.xxhash64(F.col("url_norm")))
+                .withColumn(
+                    "host_shard",
+                    F.pmod(
+                        F.xxhash64(host_udf(F.col("url_norm"))),
+                        F.lit(config.n_host_shards),
+                    ).cast("int"),
+                )
+            )
             admitted = anti_join_seen(
                 cand, seen, bloom_bc,
                 seen_count=processed_next, broadcast_below=config.bloom_min_seen,
-            ).drop("url_hash", "url_norm")
+            ).drop("url_hash", "url_norm", "host_shard")
             frontier_next = admitted.select(
                 "url", "round_enqueued", "parent_seq", "sibling_rank"
             )
@@ -341,6 +372,8 @@ def run_crawl(
         )
 
         r += 1
+
+    web_fetch.unpersist()
 
     # assemble results across rounds
     if pages_rounds:

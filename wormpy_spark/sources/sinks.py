@@ -99,3 +99,49 @@ def write_csv_distributed(pages: DataFrame, path: str) -> None:
         .option("header", True)
         .csv(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# F6: output filename templating + single-file save (reference shapes)
+# ---------------------------------------------------------------------------
+
+def set_filename(output_format: str, now: str) -> str:
+    """utils.py:121-123: scrape_<ts>.<fmt>."""
+    return f"scrape_{now}.{output_format}"
+
+
+def log_filename(now: str) -> str:
+    """main.py:124-125: scrape_log_<ts>.log."""
+    return f"scrape_log_{now}.log"
+
+
+def output_dir(base_url: str, savename: str | None = None) -> str:
+    """main.py:120,144 + file_handler.py:31: scrapes/<savename or domain>."""
+    import os
+
+    from ..functions.urlnorm import get_domain, normalize_url
+
+    folder = savename or get_domain(normalize_url(base_url))
+    return os.path.join("scrapes", folder)
+
+
+def save_output(data, domain: str, filename: str, output_format: str,
+                root: str = ".") -> str:
+    """file_handler.py:11-55 semantics: scrapes/<domain>/<filename>,
+    CSV via csv.writer rows / JSON via indent=2 ensure_ascii=False.
+    ``root`` keeps tests out of the CWD."""
+    import csv
+    import os
+
+    domain_dir = os.path.join(root, "scrapes", domain)
+    os.makedirs(domain_dir, exist_ok=True)
+    full_path = os.path.join(domain_dir, filename)
+    if output_format == "csv":
+        with open(full_path, "w", newline="", encoding="utf-8") as f:
+            csv.writer(f).writerows(data)
+    elif output_format == "json":
+        with open(full_path, "w", encoding="utf-8") as f:
+            json.dump(data, f, indent=2, ensure_ascii=False)
+    else:
+        raise ValueError(f"Invalid output format: {output_format}")
+    return full_path
