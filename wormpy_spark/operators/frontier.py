@@ -29,8 +29,15 @@ from ..functions.urlnorm import canonicalize_udf
 
 PRIORITY_COLS = ["round_enqueued", "parent_seq", "sibling_rank"]
 
+# url_norm rides the frontier: expansions are canonicalized when they
+# are discovered (expand_frontier), so no round ever re-canonicalizes
+# its input — at ~300 outlinks/page the frontier is the engine's
+# biggest row stream and a repeated pandas-UDF pass over it was the
+# top cost in round-2 phase profiles. normalize is idempotent
+# (hypothesis-tested), so admission semantics are unchanged.
 FRONTIER_SCHEMA = (
-    "url string, round_enqueued int, parent_seq long, sibling_rank int"
+    "url string, round_enqueued int, parent_seq long, sibling_rank int, "
+    "url_norm string"
 )
 
 

@@ -48,6 +48,11 @@ def get_spark(
         # Image/binary payload rows are fat — keep Arrow batches bounded
         # so an executor never materializes multi-GB batches.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # DF-cache columnar batches: default 10000 rows/batch makes
+        # multi-MB humongous allocations out of binary body columns
+        # (measured 250s+ of GC while building the web cache); smaller
+        # batches keep allocations region-sized.
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "1024")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Broadcast threshold: small dimension tables (robots rules,
         # host state) broadcast instead of shuffling the big frontier.
