@@ -6,11 +6,14 @@
                 training-data pipeline ops (dedup families, ANN,
                 text analysis, multimodal plumbing, crawl ordering).
 ``oracle_sql``— the DuckDB-runnable ANSI equivalents; scale-path ops
-                (MinHash-LSH, LSH-ANN) are oracled against their
-                brute-force equivalents so the check proves recall.
-Non-SQL-expressible ops (crawl BSP ordering, binary image decode)
-carry no oracle → the driver records the weaker rows-only check; their
-exactness is enforced by tests/test_golden.py and tests/test_images.py.
+                (MinHash-LSH, LSH-ANN, blocked/banded embedding dedup)
+                are oracled against their brute-force equivalents so
+                the check proves recall. Fixture-driven ops (image
+                decode/verify, phash pairing, crawl ordering) are
+                oracled via deterministic sidecar parquet that
+                full_registry() materializes from the seeded
+                generators / the reference-semantics python oracle —
+                every registered query carries an oracle.
 """
 
 from __future__ import annotations
