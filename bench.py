@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_embedding_blocked",
     "dedup_embedding_lsh",
     "ann_topk_bruteforce",
+    "ann_ivf_topk",
 ]
 
 CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "/tmp/wormpy_bench_corpus_v2")

@@ -1,0 +1,123 @@
+"""Multimodal audio/video plumbing + IVF ANN tests:
+
+- audio: real pcm16 decode features; external-codec rows are TYPED
+  failures (decode_ok=false), never task errors
+- video: frame fan-out (1 binary row → k frame rows) with exact phash
+- corrupt-image regression: one undecodable row must not corrupt other
+  rows' 64-bit phashes (mixed int/None → float64 coercion)
+- resize: bilinear identity on flat images + feature determinism
+- IVF: nprobe=all equals brute force; nprobe=1 scans a subset
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from wormpy_spark.fixtures.avgen import generate_audio, generate_video
+from wormpy_spark.fixtures.imagegen import generate_images
+from wormpy_spark.fixtures.spark_tables import (
+    audio_to_spark,
+    images_to_spark,
+    truth_to_spark,
+    video_to_spark,
+)
+from wormpy_spark.functions.imageops import image_features, resize_bilinear
+from wormpy_spark.operators.av import audio_features, video_frame_sample
+from wormpy_spark.operators.multimodal import decode_verify, resize_features
+from wormpy_spark.operators.similarity import ann_ivf_topk
+
+
+def test_audio_features_real_and_stub(spark):
+    pdf = generate_audio(n_clips=12, seed=5)
+    rows = {r["audio_id"]: r for r in audio_features(audio_to_spark(spark, pdf)).collect()}
+    assert len(rows) == 12
+    for _, src in pdf.iterrows():
+        got = rows[src["audio_id"]]
+        if src["fmt"] == "pcm16":
+            assert got["decode_ok"] and got["rms"] > 0 and got["duration_s"] > 0
+            # duration must equal n_samples / sample_rate exactly (4 dp)
+            assert got["duration_s"] == round(
+                int(src["n_samples"]) / int(src["sample_rate"]), 4
+            )
+        else:
+            assert not got["decode_ok"] and got["rms"] is None
+
+
+def test_video_frame_fanout_and_phash(spark):
+    pdf = generate_video(n_videos=6, seed=6)
+    out = video_frame_sample(video_to_spark(spark, pdf), every_k=2).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    for _, src in pdf.iterrows():
+        got = by_vid[src["video_id"]]
+        if src["fmt"] == "rawrgb":
+            n_expected = (int(src["n_frames"]) + 1) // 2
+            assert len(got) == n_expected
+            assert all(r["decode_ok"] and r["frame_ix"] % 2 == 0 for r in got)
+            assert all(isinstance(r["frame_phash"], int) for r in got)
+        else:
+            assert len(got) == 1 and not got[0]["decode_ok"]
+
+
+def test_decode_verify_corrupt_row_does_not_corrupt_phashes(spark):
+    """Regression: a None phash (undecodable row) in a batch must not
+    float-coerce the other rows' int64 phashes."""
+    images_pdf, truth_pdf = generate_images(n_images=6, seed=42)
+    bad = images_pdf.iloc[[0]].copy()
+    bad["image_id"] = "img_corrupt"
+    bad["fmt"] = "weird_fmt"  # no codec → decode_ok False, phash None
+    mixed = pd.concat([images_pdf, bad], ignore_index=True)
+    out = {
+        r["image_id"]: r
+        for r in decode_verify(
+            images_to_spark(spark, mixed), truth_to_spark(spark, truth_pdf)
+        ).collect()
+    }
+    assert out["img_corrupt"]["decode_ok"] is False
+    assert out["img_corrupt"]["phash"] is None
+    for _, src in images_pdf.iterrows():
+        # exact int64 equality vs the generator's phash
+        assert out[src["image_id"]]["phash"] == int(src["phash"])
+
+
+def test_resize_bilinear_flat_identity_and_features():
+    flat = np.full((17, 11, 3), 77, np.uint8)
+    small = resize_bilinear(flat, 8, 8)
+    assert small.shape == (8, 8, 3)
+    assert (small == 77).all()  # bilinear of a constant is constant
+    f = image_features(small)
+    assert f["mean_r"] == 77.0 and f["std_gray"] == 0.0 and f["entropy"] == 0.0
+
+
+def test_resize_features_spark_roundtrip(spark):
+    images_pdf, _ = generate_images(n_images=8, seed=17)
+    out = resize_features(images_to_spark(spark, images_pdf), 16, 16).collect()
+    assert len(out) == 8
+    assert all(r["resize_ok"] for r in out)
+    assert all(len(r["resized_sha256"]) == 64 for r in out)
+    assert all(0.0 <= r["entropy"] <= 3.0 + 1e-9 for r in out)  # 8 bins → ≤3 bits
+
+
+def test_ivf_full_probe_equals_brute_and_knob(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    full = ann_ivf_topk(emb, q, k=10, nprobe=None, exclude_id=0).collect()
+    # brute force = LSH at full radius = IVF at full probe
+    from wormpy_spark.operators.similarity import ann_lsh_topk
+
+    brute = ann_lsh_topk(emb, q, k=10, hamming_radius=16, exclude_id=0).collect()
+    assert [(r["vec_id"], r["score"]) for r in full] == [
+        (r["vec_id"], r["score"]) for r in brute
+    ]
+    # nprobe=1 scans a strict subset of buckets: still returns k rows,
+    # scores are a subset-ranking (no better than full)
+    narrow = ann_ivf_topk(emb, q, k=10, nprobe=1, exclude_id=0).collect()
+    assert len(narrow) == 10
+    full_scores = {r["vec_id"]: r["score"] for r in full}
+    assert narrow[0]["score"] <= full[0]["score"]
+    assert all(
+        r["score"] <= full[0]["score"] + 1e-9 for r in narrow
+    )

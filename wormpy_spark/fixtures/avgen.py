@@ -1,0 +1,75 @@
+"""Deterministic synthetic audio/video fixtures (multimodal columns).
+
+Both modalities follow the input_hint pattern: opaque ``binary``
+payloads + typed metadata columns. Two container formats per modality:
+
+- a REAL self-contained one the engine fully decodes
+  (``pcm16``: little-endian int16 mono samples;
+  ``rawrgb``: concatenated H×W×3 uint8 frames), and
+- an EXTERNAL one (``mp3`` / ``h264``) whose bytes are opaque here —
+  the engine's decode step is stubbed for those (no codec libs in the
+  container) and emits typed failure rows, which is exactly the
+  plumbing a real deployment swaps a decoder into.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def generate_audio(n_clips: int = 24, seed: int = 777) -> pd.DataFrame:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = []
+    for k in range(n_clips):
+        sr = int(rng.choice([8000, 16000]))
+        n = int(rng.integers(sr // 4, sr))  # 0.25-1.0 s
+        t = np.arange(n) / sr
+        freq = float(rng.uniform(80, 2000))
+        amp = float(rng.uniform(0.1, 0.9))
+        wave = amp * np.sin(2 * np.pi * freq * t)
+        wave += rng.normal(0, 0.02, n)
+        samples = np.clip(np.rint(wave * 32767), -32768, 32767).astype("<i2")
+        fmt = "mp3" if k % 6 == 5 else "pcm16"
+        body = samples.tobytes() if fmt == "pcm16" else rng.bytes(256)
+        rows.append(
+            {
+                "audio_id": f"aud_{k:06d}",
+                "bytes": body,
+                "sample_rate": np.int32(sr),
+                "n_samples": np.int32(n if fmt == "pcm16" else 0),
+                "fmt": fmt,
+                "caption": f"clip {k} tone {int(freq)}hz",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def generate_video(n_videos: int = 8, seed: int = 888) -> pd.DataFrame:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = []
+    for k in range(n_videos):
+        w = int(rng.integers(8, 24))
+        h = int(rng.integers(8, 24))
+        n_frames = int(rng.integers(4, 12))
+        base = rng.integers(0, 256, size=(h, w, 3)).astype(np.int16)
+        frames = []
+        for f in range(n_frames):
+            drift = rng.integers(-3, 4, size=(h, w, 3))
+            base = np.clip(base + drift, 0, 255)
+            frames.append(base.astype(np.uint8))
+        fmt = "h264" if k % 4 == 3 else "rawrgb"
+        body = b"".join(f.tobytes() for f in frames) if fmt == "rawrgb" else rng.bytes(512)
+        rows.append(
+            {
+                "video_id": f"vid_{k:06d}",
+                "bytes": body,
+                "w": np.int32(w),
+                "h": np.int32(h),
+                "n_frames": np.int32(n_frames if fmt == "rawrgb" else 0),
+                "fps": np.int32(10),
+                "fmt": fmt,
+                "caption": f"video {k}",
+            }
+        )
+    return pd.DataFrame(rows)

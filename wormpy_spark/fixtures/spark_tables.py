@@ -123,3 +123,36 @@ def corpus_to_spark(spark: SparkSession, corpus: dict) -> dict:
             _rows(corpus["robots"], ROBOTS_SCHEMA), ROBOTS_SCHEMA
         ),
     }
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("audio_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+    ]
+)
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("fps", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+    ]
+)
+
+
+def audio_to_spark(spark: SparkSession, audio_pdf):
+    return spark.createDataFrame(_rows(audio_pdf, AUDIO_SCHEMA), AUDIO_SCHEMA)
+
+
+def video_to_spark(spark: SparkSession, video_pdf):
+    return spark.createDataFrame(_rows(video_pdf, VIDEO_SCHEMA), VIDEO_SCHEMA)

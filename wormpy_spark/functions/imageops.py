@@ -196,3 +196,42 @@ def phash64(pixels: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def resize_bilinear(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Real bilinear resize (H,W,3 uint8 → out_h,out_w,3 uint8), pure
+    numpy — the deterministic stand-in for a turbojpeg/PIL resize in a
+    production pipeline; the Spark-side plumbing is identical."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    p = pixels.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def image_features(pixels: np.ndarray) -> dict:
+    """Deterministic feature vector for training-data pipelines:
+    per-channel means, gray std, luminance entropy over 8 bins.
+    Floats rounded to 4 dp so cross-engine comparison is exact."""
+    p = pixels.astype(np.float64)
+    gray = p.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 256.0))
+    frac = hist / max(gray.size, 1)
+    nz = frac[frac > 0]
+    entropy = float(-(nz * np.log2(nz)).sum())
+    return {
+        "mean_r": round(float(p[:, :, 0].mean()), 4),
+        "mean_g": round(float(p[:, :, 1].mean()), 4),
+        "mean_b": round(float(p[:, :, 2].mean()), 4),
+        "std_gray": round(float(gray.std()), 4),
+        "entropy": round(entropy, 4),
+    }

@@ -74,10 +74,15 @@ def decode_verify(images: DataFrame, truth: DataFrame) -> DataFrame:
                 except (KeyError, AssertionError, ValueError):
                     pass  # unknown/corrupt format → decode_ok=false row
                 rows.append(out)
-            yield pd.DataFrame(rows, columns=[
+            out = pd.DataFrame(rows, columns=[
                 "image_id", "fmt", "w", "h", "decode_ok", "sha_ok",
                 "caption_ok", "phash",
             ])
+            # a single undecodable row (phash=None) would coerce the
+            # whole column to float64 and corrupt the other rows'
+            # 64-bit phashes — force nullable Int64
+            out["phash"] = pd.array([r["phash"] for r in rows], dtype="Int64")
+            yield out
 
     return joined.mapInPandas(fn, DECODE_SCHEMA)
 
@@ -139,3 +144,49 @@ def phash_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+RESIZE_SCHEMA = (
+    "image_id string, fmt string, out_w int, out_h int, resize_ok boolean, "
+    "mean_r double, mean_g double, mean_b double, std_gray double, "
+    "entropy double, resized_sha256 string"
+)
+
+
+def resize_features(
+    images: DataFrame, out_w: int = 32, out_h: int = 32
+) -> DataFrame:
+    """Decode → bilinear resize → feature-extract in ONE Arrow pass
+    (the preprocess step of an image training pipeline). Real numpy
+    implementations throughout (functions/imageops.py); unknown/corrupt
+    formats yield resize_ok=false rows, never task failures — at 100 TB
+    bad rows are data. resized_sha256 pins the exact resized pixels so
+    the driver oracle can verify byte-exactness end-to-end."""
+    from ..functions.imageops import decode_image, image_features, resize_bilinear
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                out = {
+                    "image_id": r["image_id"], "fmt": r["fmt"],
+                    "out_w": out_w, "out_h": out_h, "resize_ok": False,
+                    "mean_r": None, "mean_g": None, "mean_b": None,
+                    "std_gray": None, "entropy": None, "resized_sha256": None,
+                }
+                try:
+                    pix = decode_image(bytes(r["bytes"]), r["fmt"])
+                    small = resize_bilinear(pix, out_w, out_h)
+                    out.update(image_features(small))
+                    out["resized_sha256"] = hashlib.sha256(small.tobytes()).hexdigest()
+                    out["resize_ok"] = True
+                except (KeyError, AssertionError, ValueError):
+                    pass
+                rows.append(out)
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "fmt", "out_w", "out_h", "resize_ok",
+                "mean_r", "mean_g", "mean_b", "std_gray", "entropy",
+                "resized_sha256",
+            ])
+
+    return images.mapInPandas(fn, RESIZE_SCHEMA)
