@@ -162,3 +162,21 @@ def test_bloom_engaged_parity(spark, small_corpus):
     assert [r["url_norm"] for r in on.order.collect()] == [
         r["url_norm"] for r in off.order.collect()
     ]
+
+
+def test_probe_fast_and_join_paths_agree(spark, small_corpus):
+    """P5/P6 probe: the broadcast skip-set fast path and the per-round
+    semi-join scale path must produce identical crawls."""
+    tables = corpus_to_spark(spark, small_corpus)
+    base_cfg = dict(base_url="https://host0.test", budget=50, politeness_seed=7)
+    fast = run_crawl(
+        spark, tables["web"], CrawlConfig(**base_cfg), sitemaps=tables["sitemaps"]
+    )
+    joined = run_crawl(
+        spark, tables["web"],
+        CrawlConfig(**base_cfg, probe_broadcast_max=0),
+        sitemaps=tables["sitemaps"],
+    )
+    assert [r["url_norm"] for r in fast.order.collect()] == [
+        r["url_norm"] for r in joined.order.collect()
+    ]

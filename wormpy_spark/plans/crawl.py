@@ -44,6 +44,7 @@ import tempfile
 import time
 from dataclasses import dataclass, field
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -86,6 +87,10 @@ class CrawlConfig:
     # it the bloom sidecar takes over as the no-shuffle pre-filter —
     # its bitmap broadcast is ~30x smaller than the raw keys
     bloom_min_seen: int = 100_000
+    # max suspicious-image rows collectable for the probe fast path
+    # (above this the per-round probe semi-join runs instead); 0
+    # forces the join path (used by parity tests)
+    probe_broadcast_max: int = 2_000_000
     # production politeness throttle: at most k fetches per host per
     # round; excess rows are DEFERRED to the next round with their
     # priority preserved (not dropped). None = reference semantics
@@ -149,6 +154,35 @@ def run_crawl(
     # narrow projection used by the HEAD-model probe (column pruning:
     # the probe scan reads only url_norm + content_type)
     probe = web.select("url_norm", F.col("content_type").alias("_probe_ct"))
+
+    # HEAD-probe fast path: suspicious URLs (media extensions / query
+    # strings) are the only ones that consult a content type, and only
+    # "image/*" skips (P5/P6). Collect the suspicious slice's content
+    # types ONCE and broadcast the skip SET — this replaces a per-round
+    # full probe scan + two broadcast-join jobs with one JVM isin-style
+    # lookup. Gated: above the cap the per-round semi-join path below
+    # stays (at 10^10 scale the probe is a bucketed lookup table).
+    probe_skip_bc = None
+    if config.probe_broadcast_max > 0:
+        susp_rows = (
+            probe.filter(suspicious_pred(F.col("url_norm")))
+            .filter(F.col("_probe_ct").startswith("image/"))
+            .select("url_norm")
+            .limit(config.probe_broadcast_max + 1)
+            .collect()
+        )
+        if len(susp_rows) <= config.probe_broadcast_max:
+            probe_skip_bc = spark.sparkContext.broadcast(
+                frozenset(r["url_norm"] for r in susp_rows)
+            )
+        del susp_rows
+
+    if probe_skip_bc is not None:
+        from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+        @_pandas_udf("boolean")
+        def _probe_skips(urls: pd.Series) -> pd.Series:
+            return urls.isin(probe_skip_bc.value)
 
     # fetch side prepared ONCE: hash-partitioned on the join key and
     # persisted, so every round's fetch join exchanges only the (tiny)
@@ -241,22 +275,26 @@ def run_crawl(
 
         # P5/P6 — HEAD-model probe: only suspicious URLs consult the
         # content type; image/* are skipped (scraper.py:81-84).
-        # Semi-prune the probe table by the (tiny) suspicious key set
-        # first — otherwise the planner broadcasts the full probe
-        # projection every round.
         susp = deduped.filter(suspicious_pred(F.col("url_norm")))
         rest = deduped.filter(~suspicious_pred(F.col("url_norm")))
-        probe_small = probe.join(
-            F.broadcast(susp.select("url_norm")), on="url_norm", how="left_semi"
-        )
-        susp_kept = (
-            susp.join(F.broadcast(probe_small), on="url_norm", how="left")
-            .filter(
-                F.col("_probe_ct").isNull()
-                | ~F.col("_probe_ct").startswith("image/")
+        if probe_skip_bc is not None:
+            # fast path: membership in the once-collected skip set
+            susp_kept = susp.filter(~_probe_skips(F.col("url_norm")))
+        else:
+            # scale path: semi-prune the probe table by the (tiny)
+            # suspicious key set first — otherwise the planner
+            # broadcasts the full probe projection every round
+            probe_small = probe.join(
+                F.broadcast(susp.select("url_norm")), on="url_norm", how="left_semi"
             )
-            .drop("_probe_ct")
-        )
+            susp_kept = (
+                susp.join(F.broadcast(probe_small), on="url_norm", how="left")
+                .filter(
+                    F.col("_probe_ct").isNull()
+                    | ~F.col("_probe_ct").startswith("image/")
+                )
+                .drop("_probe_ct")
+            )
         eligible = rest.unionByName(susp_kept)
         if robots_filter is not None:
             eligible = eligible.filter(robots_filter(F.col("url_norm")))
