@@ -14,7 +14,7 @@ Plus:
 - ``psnr``    : peak signal-to-noise ratio in dB
 - ``phash64`` : 64-bit DCT perceptual hash (32×32 grayscale → DCT-II →
                 8×8 low-frequency block → median threshold), used for
-                near-dup pruning of the frontier via 4-band LSH
+                near-dup pruning of the frontier via 8-band LSH
                 (SURVEY.md §4 physical-execution notes).
 
 All functions are numpy-vectorized per image and wrapped in Arrow-
