@@ -70,3 +70,55 @@ def test_stream_seed_ingest_admission(spark, tmp_path):
     got = sorted(r["url_norm"] for r in spark.read.parquet(out).collect())
     # /a and /a?x=1 collapse to one; seen1 is rejected by the anti-join
     assert got == ["https://h.test/a", "https://h.test/b"]
+
+
+def test_stream_sessionize_stateful_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionizer: state carried across
+    micro-batches (one file per trigger) must converge to the batch
+    sessionize result over the same events."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wormpy_spark.streaming.stream import stream_sessionize
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(4):
+        t = base + dt.timedelta(minutes=u)
+        for s in range(u + 1):             # user u has u+1 sessions
+            t += dt.timedelta(seconds=1801)  # gap > 30 min → new session
+            for e in range(3):              # 3 events per session
+                t += dt.timedelta(seconds=60)
+                rows.append({"event_id": eid, "user_id": u, "ts": t})
+                eid += 1
+    pdf = pd.DataFrame(rows).sort_values("ts").reset_index(drop=True)
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    third = len(pdf) // 3
+    for i, chunk in enumerate([pdf[:third], pdf[third : 2 * third], pdf[2 * third :]]):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            str(src / f"part-{i}.parquet"),
+            coerce_timestamps="us",  # Spark reads µs timestamps, not ns
+            allow_truncated_timestamps=True,
+        )
+
+    q = stream_sessionize(
+        spark, str(src), "event_id long, user_id long, ts timestamp",
+        str(tmp_path / "sess_ckpt"),
+    )
+    q.awaitTermination(180)
+
+    # final state per user = last update emitted
+    out = spark.table("sessionize_out").toPandas()
+    final = (
+        out.sort_values("last_epoch").groupby("user_id")["n_sessions"].last()
+    )
+    assert {int(u): int(n) for u, n in final.items()} == {
+        0: 1, 1: 2, 2: 3, 3: 4
+    }

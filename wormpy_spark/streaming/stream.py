@@ -90,3 +90,77 @@ def stream_frontier_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+SESSION_OUTPUT_SCHEMA = "user_id long, n_sessions long, last_epoch long"
+SESSION_STATE_SCHEMA = "last_epoch long, n_sessions long"
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    checkpoint_dir: str,
+    gap_s: int = 1800,
+    max_files_per_trigger: int = 1,
+):
+    """Custom STATEFUL streaming operator via applyInPandasWithState:
+    per-user 30-min-gap sessionization maintained across micro-batches
+    (the streaming analogue of the batch ``events_sessionize`` query —
+    the test asserts the final emitted counts equal the batch window
+    result). State per user = (last event epoch, sessions so far);
+    each micro-batch folds its (in-order) events into the state and
+    emits the running count in Update mode. Late/out-of-order arrivals
+    across batches are the watermark problem; this operator assumes
+    per-user batch-monotonic input (the crawl metrics tail satisfies
+    it) and documents that contract rather than silently mis-counting.
+
+    Returns a started StreamingQuery writing to the in-memory sink
+    named ``sessionize_out`` (query it with
+    ``spark.table("sessionize_out")``).
+    """
+    import pandas as pd
+
+    def fold(key, pdfs, state) -> "pd.DataFrame":
+        if state.exists:
+            last_epoch, n_sessions = state.get
+        else:
+            last_epoch, n_sessions = None, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                epoch = int(ts.timestamp())
+                if last_epoch is None or epoch - last_epoch > gap_s:
+                    n_sessions += 1
+                last_epoch = epoch
+        state.update((last_epoch, n_sessions))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "last_epoch": [last_epoch],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    sessions = src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        SESSION_OUTPUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "Update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessionize_out")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
