@@ -106,3 +106,27 @@ def test_anti_join_seen_bloom_branch_executes(spark):
     assert "maybe_seen" in plan, "bloom pre-filter branch did not execute"
     got = sorted(int(r["url_norm"]) for r in out.collect())
     assert got == sorted(range(1, 100, 2))
+
+
+def test_cuckoo_filter_contract():
+    """Cuckoo sidecar (north-rule 'bloom/cuckoo'): no false negatives,
+    sane FPP, and DELETION — the capability the Bloom variant lacks."""
+    from wormpy_spark.operators.seen import Cuckoo
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    keys = rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
+    keys = np.unique(keys)
+    c = Cuckoo.sized(len(keys))
+    c.add(keys)
+    assert c.might_contain(keys).all(), "false negative"
+
+    other = rng.integers(-(2**62), 2**62, size=20_000, dtype=np.int64)
+    other = np.setdiff1d(other, keys)
+    fpp = c.might_contain(other).mean()
+    assert fpp < 0.01, f"fpp too high: {fpp}"
+
+    # delete half, they must disappear; the rest must remain
+    half = keys[: len(keys) // 2]
+    assert c.delete(half).all()
+    assert c.might_contain(keys[len(keys) // 2 :]).all()
+    assert c.might_contain(half).mean() < 0.01  # only residual FPP left

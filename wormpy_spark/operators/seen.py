@@ -19,6 +19,11 @@ shard's bitmap covers only its hosts' keys, no single driver-resident
 bitmap spans the whole seen set, and on a real cluster each task needs
 only the shard bitmaps of the hosts it processes (host-hash
 partitioning makes that exactly one shard per task).
+
+``Cuckoo`` (bottom) is the north-rule's alternative sidecar: same
+no-false-negative contract at ~2 bytes/key, plus DELETION — a
+recrawl/invalidation pipeline removes refreshed URLs from the sidecar
+instead of rebuilding the whole bitmap.
 """
 
 from __future__ import annotations
@@ -192,3 +197,98 @@ def anti_join_seen(
     suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     checked = suspects.join(seen_keys, on=[hash_col, key_col], how="left_anti")
     return definite_new.unionByName(checked)
+
+
+class Cuckoo:
+    """Cuckoo filter over int64 keys (numpy bucket table): the
+    north-rule's alternative to the Bloom sidecar. Same contract —
+    no false negatives, small false-positive rate — plus DELETION,
+    which a Bloom cannot do: a recrawl/invalidation pipeline removes
+    refreshed URLs from the sidecar instead of rebuilding it.
+
+    Layout: n_buckets × 4 slots of 16-bit fingerprints (0 = empty);
+    partial-key cuckoo hashing (Fan et al., CoNEXT'14 — public
+    algorithm): item x → fingerprint f(x) ∈ [1, 65535], buckets
+    i1 = h(x), i2 = i1 XOR h(f) — each relocatable from the other."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int):
+        # power of two so XOR-partial addressing stays in range
+        n = 1
+        while n < n_buckets:
+            n <<= 1
+        self.n_buckets = n
+        self.table = np.zeros((n, self.SLOTS), np.uint16)
+        self._rng_state = 0x9E3779B9
+
+    @classmethod
+    def sized(cls, expected: int) -> "Cuckoo":
+        # 4-slot buckets run fine to ~95% load; size for ~80%
+        return cls(max(8, int(expected / (cls.SLOTS * 0.8)) + 1))
+
+    def _fingerprint(self, keys: np.ndarray) -> np.ndarray:
+        f = ((keys.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(48)).astype(np.uint16)
+        return np.where(f == 0, np.uint16(1), f)  # 0 means empty slot
+
+    def _i1(self, keys: np.ndarray) -> np.ndarray:
+        h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(17)
+        return (h % np.uint64(self.n_buckets)).astype(np.int64)
+
+    def _alt(self, bucket: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        mix = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) % np.uint64(self.n_buckets)
+        return (bucket.astype(np.uint64) ^ mix).astype(np.int64) % self.n_buckets
+
+    def _insert_one(self, bucket: int, fp: int) -> bool:
+        for b in (bucket, int(self._alt(np.array([bucket]), np.array([fp], np.uint16))[0])):
+            row = self.table[b]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        # kick loop
+        b = bucket
+        for _ in range(self.MAX_KICKS):
+            self._rng_state = (self._rng_state * 1103515245 + 12345) & 0x7FFFFFFF
+            slot = self._rng_state % self.SLOTS
+            fp, self.table[b, slot] = int(self.table[b, slot]), fp
+            b = int(self._alt(np.array([b]), np.array([fp], np.uint16))[0])
+            row = self.table[b]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        return False  # table over capacity
+
+    def add(self, keys: np.ndarray) -> None:
+        fps = self._fingerprint(keys)
+        b1s = self._i1(keys)
+        for b, fp in zip(b1s, fps):
+            if not self._insert_one(int(b), int(fp)):
+                raise RuntimeError("cuckoo filter over capacity — resize")
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        fps = self._fingerprint(keys)
+        b1 = self._i1(keys)
+        b2 = self._alt(b1, fps)
+        in1 = (self.table[b1] == fps[:, None]).any(axis=1)
+        in2 = (self.table[b2] == fps[:, None]).any(axis=1)
+        return in1 | in2
+
+    def delete(self, keys: np.ndarray) -> np.ndarray:
+        """Remove one copy of each key's fingerprint; returns per-key
+        success (False = was not present). The capability Bloom lacks."""
+        fps = self._fingerprint(keys)
+        b1 = self._i1(keys)
+        b2 = self._alt(b1, fps)
+        out = np.zeros(len(keys), bool)
+        for i, (fp, a, b) in enumerate(zip(fps, b1, b2)):
+            for bucket in (int(a), int(b)):
+                row = self.table[bucket]
+                hit = np.nonzero(row == fp)[0]
+                if len(hit):
+                    row[hit[0]] = 0
+                    out[i] = True
+                    break
+        return out
