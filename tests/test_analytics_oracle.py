@@ -69,12 +69,15 @@ def test_query_matches_oracle(spark, name):
     )
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run(spark, name):
-    fn = entrymod.queries()[name]
-    df = fn(spark, SF_DIR)
-    assert len(df.columns) > 0
-    assert df.count() > 0
+if ROWS_ONLY:
+    # only defined while rows-only (non-SQL-expressible) queries exist;
+    # today every query is oracled, so this generates no skipped test
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_rows_only_queries_run(spark, name):
+        fn = entrymod.queries()[name]
+        df = fn(spark, SF_DIR)
+        assert len(df.columns) > 0
+        assert df.count() > 0
 
 
 def test_entry_smoke(spark):

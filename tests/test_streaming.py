@@ -122,3 +122,56 @@ def test_stream_sessionize_stateful_equals_batch(spark, tmp_path):
     assert {int(u): int(n) for u, n in final.items()} == {
         0: 1, 1: 2, 2: 3, 3: 4
     }
+
+
+def test_stream_sessionize_group_spanning_many_arrow_chunks(spark, tmp_path):
+    """Regression: a user whose micro-batch events span MULTIPLE Arrow
+    chunks (group larger than arrow.maxRecordsPerBatch) must still
+    count sessions correctly — chunks arrive in arbitrary (shuffle)
+    order, so folding them chunk-by-chunk with per-chunk sorts lets
+    last_epoch regress and overcounts."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wormpy_spark.streaming.stream import stream_sessionize
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    t = base
+    for _s in range(5):                      # exactly 5 sessions
+        t += dt.timedelta(seconds=1801)
+        for _e in range(40):                 # 200 events total
+            t += dt.timedelta(seconds=10)
+            rows.append({"event_id": eid, "user_id": 7, "ts": t})
+            eid += 1
+    # shuffled file order → Arrow chunks are NOT chronological
+    pdf = pd.DataFrame(rows).sample(frac=1.0, random_state=13).reset_index(drop=True)
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(src / "part-0.parquet"),
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "16")               # force ~13 chunks for the group
+    try:
+        q = stream_sessionize(
+            spark, str(src), "event_id long, user_id long, ts timestamp",
+            str(tmp_path / "sess_ckpt"),
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set(key, prev)
+
+    out = spark.table("sessionize_out").toPandas()
+    final = out.sort_values("last_epoch").groupby("user_id")["n_sessions"].last()
+    assert {int(u): int(n) for u, n in final.items()} == {7: 5}

@@ -202,9 +202,11 @@ def anti_join_seen(
 class Cuckoo:
     """Cuckoo filter over int64 keys (numpy bucket table): the
     north-rule's alternative to the Bloom sidecar. Same contract —
-    no false negatives, small false-positive rate — plus DELETION,
-    which a Bloom cannot do: a recrawl/invalidation pipeline removes
-    refreshed URLs from the sidecar instead of rebuilding it.
+    no false negatives (PROVIDED delete() is only ever called on keys
+    known to have been inserted — see delete()), small false-positive
+    rate — plus DELETION, which a Bloom cannot do: a recrawl/
+    invalidation pipeline removes refreshed URLs from the sidecar
+    instead of rebuilding it.
 
     Layout: n_buckets × 4 slots of 16-bit fingerprints (0 = empty);
     partial-key cuckoo hashing (Fan et al., CoNEXT'14 — public
@@ -278,7 +280,16 @@ class Cuckoo:
 
     def delete(self, keys: np.ndarray) -> np.ndarray:
         """Remove one copy of each key's fingerprint; returns per-key
-        success (False = was not present). The capability Bloom lacks."""
+        success (False = was not present). The capability Bloom lacks.
+
+        CAVEAT (standard cuckoo-filter contract, Fan et al. §3.3):
+        delete() is only safe for keys KNOWN to have been inserted —
+        deleting a never-inserted key can remove a different key's
+        fingerprint sharing the same (bucket, fingerprint), creating a
+        false negative. The exact anti-join stays authoritative for any
+        deletion pipeline; this sidecar is a pre-filter only and must
+        never gate a definitely-unseen fast path after unvalidated
+        deletes."""
         fps = self._fingerprint(keys)
         b1 = self._i1(keys)
         b2 = self._alt(b1, fps)

@@ -213,18 +213,33 @@ def run_crawl(
         if not rounds_list:
             return _empty(spark, SEEN_SCHEMA)
         paths = [f"{catalog.root}/pages/snap-{rr:06d}" for rr in sorted(set(rounds_list))]
-        return (
-            spark.read.parquet(*paths)
-            .select(
-                F.xxhash64("url_norm").alias("url_hash"),
-                "url_norm",
-                "host_shard",
-            )
+        df = spark.read.parquet(*paths)
+        if "host_shard" in df.columns:
+            shard = F.col("host_shard")
+        else:
+            # pre-host_shard checkpoint (resume compatibility): backfill
+            # the shard from url_norm — same formula the loop uses
+            shard = F.pmod(
+                F.xxhash64(host_udf(F.col("url_norm"))),
+                F.lit(config.n_host_shards),
+            ).cast("int")
+        return df.select(
+            F.xxhash64("url_norm").alias("url_hash"),
+            "url_norm",
+            shard.alias("host_shard"),
         )
 
     if config.resume and catalog.latest_round() is not None:
         state = catalog.state()
         assert state["base"] == base, "resume with a different base URL"
+        ck_shards = state.get("n_host_shards")
+        if ck_shards is not None and ck_shards != config.n_host_shards:
+            # a different shard count would mis-route bloom lookups for
+            # keys seen before the resume — refuse rather than corrupt
+            raise ValueError(
+                f"resume with n_host_shards={config.n_host_shards} but the "
+                f"checkpoint was written with {ck_shards}; use the same value"
+            )
         start_round = state["round"] + 1
         processed = state["processed"]
         sitemap_urls = state.get("sitemap_urls", [])
@@ -384,16 +399,21 @@ def run_crawl(
             seen_r, expect = seen, processed_next
 
             def _build_bloom():
-                bloom_out["bc"] = spark.sparkContext.broadcast(
-                    build_bloom_shards(
-                        seen_r,
-                        "url_hash",
-                        "host_shard",
-                        expected_per_shard=max(
-                            expect * 4 // config.n_host_shards, 1024
-                        ),
+                # capture failures: a swallowed Spark error here would
+                # surface later as an opaque KeyError on bloom_out["bc"]
+                try:
+                    bloom_out["bc"] = spark.sparkContext.broadcast(
+                        build_bloom_shards(
+                            seen_r,
+                            "url_hash",
+                            "host_shard",
+                            expected_per_shard=max(
+                                expect * 4 // config.n_host_shards, 1024
+                            ),
+                        )
                     )
-                )
+                except BaseException as e:  # re-raised after join()
+                    bloom_out["err"] = e
 
             bloom_thread = threading.Thread(target=_build_bloom, daemon=True)
             bloom_thread.start()
@@ -437,6 +457,8 @@ def run_crawl(
         frontier = spark.read.parquet(frontier_path)
         if bloom_thread is not None:
             bloom_thread.join()
+            if "err" in bloom_out:
+                raise bloom_out["err"]
             bloom_bc = bloom_out["bc"]
         t_expand = time.time()
 
@@ -469,6 +491,7 @@ def run_crawl(
                 "budget": budget,
                 "sitemap_urls": sitemap_urls,
                 "metrics_rows": metrics_rows,
+                "n_host_shards": config.n_host_shards,
             },
         )
 

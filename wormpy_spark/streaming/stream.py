@@ -126,9 +126,20 @@ def stream_sessionize(
             last_epoch, n_sessions = state.get
         else:
             last_epoch, n_sessions = None, 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts in pdf["ts"]:
+        # A group larger than arrow.maxRecordsPerBatch arrives as
+        # MULTIPLE chunks whose concatenation is NOT chronologically
+        # ordered (shuffle output order is arbitrary) — concatenate the
+        # whole group and sort ONCE before folding; sorting chunks
+        # independently lets last_epoch regress across chunk boundaries
+        # and miscounts sessions.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True)
+                if len(chunks) > 1
+                else chunks[0]
+            ).sort_values(["ts", "event_id"])
+            for ts in whole["ts"]:
                 epoch = int(ts.timestamp())
                 if last_epoch is None or epoch - last_epoch > gap_s:
                     n_sessions += 1
