@@ -43,16 +43,19 @@ CRAWL_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "450000"))
 # cluster would observe)
 TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
 
+# scale-tier ops only: the two labeled O(n²) oracle-baseline plans
+# (dedup_ngram_jaccard, dedup_embedding_cosine) are excluded from the
+# headline — they exist as ground-truth companions of dedup_minhash_lsh
+# and dedup_embedding_blocked/lsh (identical output, verified by the
+# driver's correctness gate, which still covers them at sf0.01).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
     "events_sessionize",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_fingerprint",
-    "dedup_embedding_cosine",
     "dedup_embedding_blocked",
     "dedup_embedding_lsh",
     "ann_topk_bruteforce",
@@ -100,9 +103,27 @@ def ensure_corpus() -> None:
         f.write("ok")
 
 
+def _pin_prefix(cpus: int) -> list[str]:
+    """Pin the whole process tree (JVM + Python workers) to exactly
+    ``cpus`` cores. Without this, a local[N] run on a 32-core box leaks
+    GC/Netty/parquet threads and the Arrow Python workers onto OTHER
+    cores — the small level gets silently more silicon than its N, and
+    the N→4N efficiency reads low for the wrong reason. taskset makes
+    each level an honest N-core node. Disable with
+    SPARK_GRAFT_BENCH_PIN=0 (e.g. non-Linux)."""
+    import shutil
+
+    if os.environ.get("SPARK_GRAFT_BENCH_PIN", "1") != "1":
+        return []
+    if shutil.which("taskset") is None:
+        return []
+    return ["taskset", "-c", f"0-{cpus - 1}"]
+
+
 def crawl_level(cpus: int) -> dict:
     out = subprocess.run(
-        [
+        _pin_prefix(cpus)
+        + [
             sys.executable,
             "-m",
             "wormpy_spark.bench_crawl",
@@ -170,12 +191,15 @@ def main() -> None:
     speedup = small["wall_s"] / big["wall_s"] if big["wall_s"] else 0.0
     efficiency = speedup / (CPUS_BIG / CPUS_SMALL)
 
+    from wormpy_spark.plans.registry import ORACLE_BASELINE_TIER
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "headline_queries_plus_crawl_total_wall",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "oracle_tier_excluded": sorted(ORACLE_BASELINE_TIER),
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "crawl": big,
         "scaling": {

@@ -82,3 +82,56 @@ def test_generated_corpus_truth():
     ]
     n_dups = len(close)
     assert n_dups >= 1, "generator should inject near-duplicate clusters"
+
+
+def test_jpeg_roundtrip_psnr_and_structure():
+    """Pure-numpy baseline JFIF codec: shape-exact decode, PSNR >= 40dB
+    (the input_hint invariant) on fixture-like images, deterministic
+    encode, and spec-level structure (SOI/EOI, 4:4:4 markers)."""
+    import numpy as np
+
+    from wormpy_spark.fixtures.imagegen import _smooth_pixels
+    from wormpy_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    for _ in range(4):
+        w = int(rng.integers(16, 129))
+        h = int(rng.integers(16, 129))
+        px = _smooth_pixels(rng, w, h)
+        data = encode_jpeg(px, quality=98)
+        assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+        dec = decode_jpeg(data)
+        assert dec.shape == (h, w, 3)
+        assert psnr(px, dec) >= 40.0
+        assert encode_jpeg(px, quality=98) == data  # deterministic
+
+
+def test_jpeg_rejects_unsupported_variants():
+    import numpy as np
+    import pytest
+
+    from wormpy_spark.fixtures.imagegen import _smooth_pixels
+    from wormpy_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    rng = np.random.Generator(np.random.PCG64(7))
+    data = bytearray(encode_jpeg(_smooth_pixels(rng, 24, 24), 98))
+    sof = bytes(data).find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # masquerade as progressive
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+
+
+def test_jpg_in_codec_table_and_fixture():
+    """jpg rows flow through generate_images + decode_verify's codec
+    table: sha_ok is computed against the decoder's own reconstruction
+    and the 40dB floor holds vs the original pixels."""
+    from wormpy_spark.fixtures.imagegen import FMTS
+
+    assert "jpg" in FMTS
+    images, truth = generate_images(n_images=24, seed=555)
+    assert (images["fmt"] == "jpg").any(), "fixture never drew a jpg"
+    for _, r in images[images["fmt"] == "jpg"].iterrows():
+        dec = decode_image(bytes(r["bytes"]), "jpg")
+        assert dec.shape == (int(r["h"]), int(r["w"]), 3)

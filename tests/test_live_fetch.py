@@ -163,3 +163,48 @@ def test_requests_transport_unavailable_is_lazy():
     execution does (so offline clusters can still import the module)."""
     fn = make_live_fetch(True)
     assert callable(fn)
+
+
+def test_live_politeness_sleeps_follow_seeded_schedule():
+    """T1 in live mode: with politeness_seed set, each request is
+    preceded by the seeded per-host U(1,5) draw at that host's
+    task-local attempt index — interleaved hosts keep independent
+    streams, and retry backoff sleeps still appear in between."""
+    from wormpy_spark.operators.politeness import politeness_delay
+
+    urls = [
+        "https://a.test/1", "https://b.test/1",
+        "https://a.test/2", "https://a.test/3", "https://b.test/2",
+    ]
+    script = {u: [(200, "text/html", HTML)] for u in urls}
+    script["https://a.test/2"] = [TransportError("reset"), (200, "text/html", HTML)]
+    get = MockTransport(script)
+
+    sleeps: list[float] = []
+    fn = make_live_fetch(
+        True, lambda: get, sleeps.append, politeness_seed=99
+    )
+    pdf = pd.DataFrame([_frontier_row(u, seq=i) for i, u in enumerate(urls)])
+    out = pd.concat(list(fn(iter([pdf]))))
+    assert len(out) == len(urls)
+    assert out["error"].isna().all()
+
+    want = [
+        politeness_delay(99, "a.test", 0),
+        politeness_delay(99, "b.test", 0),
+        politeness_delay(99, "a.test", 1),
+        1.0,  # backoff before a.test/2's retry (BACKOFF_BASE_S * 1)
+        politeness_delay(99, "a.test", 2),
+        politeness_delay(99, "b.test", 1),
+    ]
+    assert sleeps == want
+
+
+def test_live_without_politeness_seed_never_sleeps_between_requests():
+    urls = ["https://a.test/1", "https://a.test/2"]
+    get = MockTransport({u: [(200, "text/html", HTML)] for u in urls})
+    sleeps: list[float] = []
+    fn = make_live_fetch(True, lambda: get, sleeps.append)
+    pdf = pd.DataFrame([_frontier_row(u, seq=i) for i, u in enumerate(urls)])
+    list(fn(iter([pdf])))
+    assert sleeps == []

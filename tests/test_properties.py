@@ -149,7 +149,9 @@ def test_bloom_engaged_parity(spark, small_corpus):
     identical to the bloom-off run (false positives only re-route rows
     through the exact anti-join, never drop them)."""
     tables = corpus_to_spark(spark, small_corpus)
-    base_cfg = dict(base_url="https://host0.test", budget=50, politeness_seed=7)
+    # fast_round_max=0: the bloom branch only exists on the Spark path
+    base_cfg = dict(base_url="https://host0.test", budget=50, politeness_seed=7,
+                    fast_round_max=0)
     off = run_crawl(
         spark, tables["web"], CrawlConfig(**base_cfg, use_bloom=False),
         sitemaps=tables["sitemaps"],
@@ -168,7 +170,10 @@ def test_probe_fast_and_join_paths_agree(spark, small_corpus):
     """P5/P6 probe: the broadcast skip-set fast path and the per-round
     semi-join scale path must produce identical crawls."""
     tables = corpus_to_spark(spark, small_corpus)
-    base_cfg = dict(base_url="https://host0.test", budget=50, politeness_seed=7)
+    # fast_round_max=0: compare the two SPARK probe strategies (the
+    # driver fast path has its own skip-set check, tested separately)
+    base_cfg = dict(base_url="https://host0.test", budget=50, politeness_seed=7,
+                    fast_round_max=0)
     fast = run_crawl(
         spark, tables["web"], CrawlConfig(**base_cfg), sitemaps=tables["sitemaps"]
     )
@@ -180,3 +185,30 @@ def test_probe_fast_and_join_paths_agree(spark, small_corpus):
     assert [r["url_norm"] for r in fast.order.collect()] == [
         r["url_norm"] for r in joined.order.collect()
     ]
+
+
+def _full_outputs(spark, tables, **cfg_kwargs):
+    cfg = CrawlConfig(base_url="https://host0.test", budget=50,
+                      politeness_seed=7, **cfg_kwargs)
+    res = run_crawl(spark, tables["web"], cfg, sitemaps=tables["sitemaps"])
+    order = [(r["seq"], r["url_norm"]) for r in res.order.collect()]
+    seen = sorted(r["url_norm"] for r in res.seen.collect())
+    pages = {r["seq"]: r.asDict(recursive=True) for r in res.pages.collect()}
+    errors = [m["errors"] for m in res.metrics_rows]
+    return order, seen, pages, errors
+
+
+def test_driver_fast_path_equals_spark_path(spark, small_corpus):
+    """The driver fast path (plans/fastround.py) must be output-
+    identical to the Spark path — order, seen set, every page row, and
+    per-round error counts — both when the whole crawl fits in fast
+    mode and when it transitions to the Spark path mid-crawl."""
+    tables = corpus_to_spark(spark, small_corpus)
+    spark_path = _full_outputs(spark, tables, fast_round_max=0)
+    all_fast = _full_outputs(spark, tables, fast_round_max=4096)
+    # fast_round_max=10: early rounds driver-side, later rounds hand
+    # over to the Spark path mid-crawl (snapshot-mediated transition)
+    mixed = _full_outputs(spark, tables, fast_round_max=10)
+    assert all_fast == spark_path
+    assert mixed == spark_path
+    assert len(spark_path[0]) > 5

@@ -175,3 +175,66 @@ def test_stream_sessionize_group_spanning_many_arrow_chunks(spark, tmp_path):
     out = spark.table("sessionize_out").toPandas()
     final = out.sort_values("last_epoch").groupby("user_id")["n_sessions"].last()
     assert {int(u): int(n) for u, n in final.items()} == {7: 5}
+
+
+def test_stream_sessionize_watermarked_late_data_policy(spark, tmp_path):
+    """Watermarked session_window variant: an out-of-order event inside
+    the watermark horizon merges into its session; an event OLDER than
+    the watermark is dropped (never resurrects a closed session); only
+    watermark-closed sessions are emitted (append mode)."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wormpy_spark.streaming.stream import stream_sessionize_watermarked
+
+    def write(ix, rows):
+        p = str(src / f"part-{ix}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False),
+            p,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        os.utime(p, (1_700_000_000 + ix, 1_700_000_000 + ix))  # file order
+
+    def ev(eid, hh, mm):
+        return {"event_id": eid, "user_id": 7,
+                "ts": dt.datetime(2024, 5, 1, hh, mm, 0)}
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    # session A: 10:00 + out-of-order 10:05 in the SAME batch → merges
+    write(0, [ev(0, 10, 0), ev(1, 10, 5)])
+    write(1, [ev(2, 13, 0)])   # session B; watermark advances to 12:00
+    write(2, [ev(3, 16, 0)])   # session C; watermark advances to 15:00
+    # LATE: 10:20 arrives with wm=15:00 and session A already finalized
+    # → DROPPED (asserted via numRowsDroppedByWatermark and the output:
+    # A keeps 2 events, no bogus [10:20, 10:50) session appears)
+    write(3, [ev(4, 10, 20)])
+    write(4, [ev(5, 20, 0)])   # flush: wm 19:00 closes C
+
+    q = stream_sessionize_watermarked(
+        spark, str(src), "event_id long, user_id long, ts timestamp",
+        str(tmp_path / "wm_ckpt"), gap="30 minutes", watermark="1 hour",
+    )
+    q.awaitTermination(180)
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the 10:20 straggler
+
+    out = spark.table("sessionize_wm_out").toPandas().sort_values("session_start")
+    got = [
+        (r["session_start"].hour, r["session_start"].minute, int(r["n_events"]))
+        for _, r in out.iterrows()
+    ]
+    # A = {10:00, 10:05} (late 10:20 dropped, never resurrects A),
+    # B = {13:00}, C = {16:00}; the 20:00 session is still inside the
+    # trailing watermark horizon and therefore unemitted
+    assert got == [(10, 0, 2), (13, 0, 1), (16, 0, 1)]

@@ -123,3 +123,27 @@ def test_spark_predicate_parity(spark):
         from urllib.parse import urlparse
 
         assert row["media"] == is_image_file_extension(urlparse(row["url"]).path)
+
+
+# --- pure-Python XXH64 must equal Spark's xxhash64 (fast-path sharding) --------
+def test_xxhash64_spark_parity(spark):
+    import random
+    import string
+
+    from wormpy_spark.functions.xxhash import pmod, xxhash64_str
+
+    random.seed(1234)
+    samples = ["", "a", "host0.test", "https://host0.test/p/1",
+               "ünïcødé-✓", "x" * 31, "y" * 32, "z" * 100]
+    samples += [
+        "".join(random.choices(string.printable, k=random.randint(0, 200)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string").select(
+        "s",
+        F.xxhash64("s").alias("h"),
+        F.pmod(F.xxhash64("s"), F.lit(64)).alias("m"),
+    )
+    for r in df.collect():
+        assert xxhash64_str(r["s"]) == r["h"], repr(r["s"])
+        assert pmod(xxhash64_str(r["s"]), 64) == r["m"], repr(r["s"])

@@ -18,7 +18,7 @@ import pandas as pd
 
 from ..functions.imageops import LOSSLESS, decode_image, encode_image, phash64
 
-FMTS = ("png", "bmp", "qnt")
+FMTS = ("png", "bmp", "qnt", "jpg")
 
 _CAPTION_VOCAB = (
     "red blue green small large striped plain bright dark soft "

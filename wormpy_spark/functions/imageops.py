@@ -121,10 +121,28 @@ def decode_qnt(data: bytes) -> np.ndarray:
     return np.minimum(q.astype(np.uint16) * 4 + 2, 255).astype(np.uint8)
 
 
+def _encode_jpeg_q98(pixels: np.ndarray) -> bytes:
+    # quality pinned so the fixture generator's smooth-field images
+    # decode at ≥40 dB with margin (measured worst case 43.4 dB at q98,
+    # 38.7 at q96) — honoring the input_hint PSNR invariant
+    from .jpeg import encode_jpeg
+
+    return encode_jpeg(pixels, quality=98)
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    from .jpeg import decode_jpeg
+
+    return decode_jpeg(data)
+
+
 CODECS = {
     "bmp": (encode_bmp, decode_bmp),
     "png": (encode_png, decode_png),
     "qnt": (encode_qnt, decode_qnt),
+    # real baseline JFIF, pure numpy (functions/jpeg.py) — the format a
+    # production corpus is mostly made of
+    "jpg": (_encode_jpeg_q98, _decode_jpeg),
 }
 
 LOSSLESS = {"bmp", "png"}

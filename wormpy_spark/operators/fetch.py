@@ -43,7 +43,7 @@ from ..functions.extract import (
     pdf_text,
 )
 from ..functions.urlnorm import is_pdf_path
-from ..operators.politeness import MAX_RETRIES
+from ..operators.politeness import MAX_RETRIES, politeness_delay
 
 SCRAPER_ID = 1
 
@@ -236,20 +236,39 @@ def make_live_fetch(
     discovery: bool,
     transport_factory=requests_transport,
     sleep=None,
+    politeness_seed: int | None = None,
 ):
     """Arrow-batched live fetcher over the due frontier (no web join):
     each executor task builds ONE transport (connection pool) and GETs
-    its batch sequentially — per-host politeness is enforced upstream
-    by the scheduler, so a batch is already rate-shaped. Output schema
-    and semantics are identical to the offline fixture join."""
+    its batch sequentially. Output schema and semantics are identical
+    to the offline fixture join.
+
+    Per-host politeness (T1, reference utils.py:36-51): with
+    ``politeness_seed`` set, every request is preceded by a seeded
+    U(1,5)s sleep drawn from the SAME per-host delay stream the batch
+    scheduler simulates (operators.politeness.politeness_delay) — the
+    draw index is the task-local per-host attempt counter, so a
+    same-host run within one batch is rate-shaped even though the
+    upstream scheduler only shapes across rounds. ``sleep`` stays
+    injectable so tests assert the exact sleep sequence offline."""
+    import time as _time
+
+    do_sleep = sleep if sleep is not None else _time.sleep
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         get = transport_factory()
+        host_ix: dict[str, int] = {}
+
+        def one(r: dict) -> dict:
+            if politeness_seed is not None:
+                h = r.get("host") or ""
+                ix = host_ix.get(h, 0)
+                host_ix[h] = ix + 1
+                do_sleep(politeness_delay(politeness_seed, h, ix))
+            return fetch_live_row(r, discovery, get, sleep)
+
         for pdf in batches:
-            rows = [
-                fetch_live_row(r, discovery, get, sleep)
-                for r in pdf.to_dict("records")
-            ]
+            rows = [one(r) for r in pdf.to_dict("records")]
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -29,6 +29,18 @@ from ..functions.urlnorm import canonicalize_udf
 
 PRIORITY_COLS = ["round_enqueued", "parent_seq", "sibling_rank"]
 
+
+class _SeqCaches:
+    """Bundle of the two persisted DataFrames assign_global_seq takes;
+    callers release both with one unpersist()."""
+
+    def __init__(self, *dfs):
+        self._dfs = dfs
+
+    def unpersist(self):
+        for d in self._dfs:
+            d.unpersist()
+
 # url_norm rides the frontier: expansions are canonicalized when they
 # are discovered (expand_frontier), so no round ever re-canonicalizes
 # its input — at ~300 outlinks/page the frontier is the engine's
@@ -54,18 +66,23 @@ def assign_global_seq(
     by construction). Returns (df_with_seq, row_count, cache_handle) —
     the count is a free by-product of the offset computation.
 
-    The ranged DataFrame is PERSISTED here and returned as the third
-    element: repartitionByRange samples its boundaries per execution
-    (RDD-id-seeded), so without the cache the counts job and the
-    downstream job could place a boundary row in different partitions,
-    corrupting the offsets. The counts collect materializes the cache;
-    the caller must unpersist the handle once downstream results are
-    materialized."""
+    TWO caches are taken and bundled into the returned handle:
+    - the INPUT is persisted because repartitionByRange's range
+      partitioner runs a separate SAMPLING job over its child — without
+      the cache every caller's upstream chain (the crawl's whole
+      filter pipeline) is computed twice per call;
+    - the ranged output is persisted because repartitionByRange samples
+      its boundaries per execution (RDD-id-seeded), so without it the
+      counts job and the downstream job could place a boundary row in
+      different partitions, corrupting the offsets.
+    The counts collect materializes both; the caller must unpersist the
+    handle once downstream results are materialized."""
     order_cols = order_cols or PRIORITY_COLS
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = df.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
+    src = df.persist()
+    ranged = src.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
     ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets: dict[int, int] = {}
@@ -74,8 +91,9 @@ def assign_global_seq(
         offsets[pid] = acc
         acc += counts[pid]
     total = acc - start
+    handle = _SeqCaches(src, ranged)
     if not offsets:  # empty input — keep the schema, no rows
-        return ranged.drop("_pid").withColumn(seq_col, F.lit(0).cast("long")), 0, ranged
+        return ranged.drop("_pid").withColumn(seq_col, F.lit(0).cast("long")), 0, handle
     mapping = F.create_map(
         *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
     )
@@ -87,7 +105,7 @@ def assign_global_seq(
         )
         .drop("_pid")
     )
-    return out, total, ranged
+    return out, total, handle
 
 
 def dedup_within_round(df: DataFrame, key: str = "url_norm") -> DataFrame:

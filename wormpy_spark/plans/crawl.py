@@ -66,6 +66,11 @@ from ..operators.robots import RobotsCache, robots_allows_udf
 from ..operators.seen import anti_join_seen, build_bloom_shards
 from ..sources.catalog import SnapshotCatalog
 from ..sources.sitemap import expand_sitemaps
+from .fastround import (
+    run_fast_round,
+    write_frontier_parquet,
+    write_pages_parquet,
+)
 
 SEEN_SCHEMA = "url_hash long, url_norm string, host_shard int"
 HOST_STATE_SCHEMA = "host string, next_ix long, clock_s double, attempts long"
@@ -97,6 +102,11 @@ class CrawlConfig:
     # (golden runs) — the reference rate-limits wall-clock, never
     # reorders, so the throttle is opt-in (SURVEY.md §2.7-T1).
     max_per_host_per_round: int | None = None
+    # frontiers at or below this row count run the whole round driver-
+    # side (plans/fastround.py) — one Spark job instead of ~4, killing
+    # the fixed per-round scheduling floor for the tiny head/tail
+    # rounds every crawl has. 0 disables (parity tests compare paths).
+    fast_round_max: int = 4096
 
 
 @dataclass
@@ -147,8 +157,10 @@ def run_crawl(
     )
 
     robots_filter = None
+    robots_cache_obj = None
     if config.respect_robots and robots is not None:
         cache = RobotsCache.from_fixture(robots.toPandas())
+        robots_cache_obj = cache
         robots_filter = robots_allows_udf(spark.sparkContext.broadcast(cache))
 
     # narrow projection used by the HEAD-model probe (column pruning:
@@ -246,6 +258,11 @@ def run_crawl(
         frontier = catalog.read(spark, "frontier")
         seen = seen_from_pages(catalog.rounds())
         metrics_rows = state.get("metrics_rows", [])
+        # resume always re-enters on the Spark path (frontier/seen are
+        # snapshot-resident); tiny post-resume rounds still work, they
+        # just do not take the driver shortcut
+        frontier_rows = None
+        seen_set = None
     else:
         start_round = 0
         processed = 0
@@ -264,6 +281,8 @@ def run_crawl(
                 for i, u in enumerate(sitemap_urls)
             ]
         frontier = spark.createDataFrame(seed_rows, FRONTIER_SCHEMA)
+        frontier_rows = list(seed_rows)
+        seen_set = set()
 
     pages_rounds: list[int] = catalog.rounds() if config.resume else []
     bloom_bc = None
@@ -271,6 +290,68 @@ def run_crawl(
     r = start_round
     while r < config.max_rounds and processed < budget:
         t0 = time.time()
+
+        # ---- driver fast path: whole tiny round in Python, one Spark
+        # job (the web key lookup) — see plans/fastround.py ----
+        if (
+            frontier_rows is not None
+            and seen_set is not None
+            and config.fast_round_max > 0
+            and probe_skip_bc is not None
+            and len(frontier_rows) <= config.fast_round_max
+        ):
+            fr = run_fast_round(
+                r, frontier_rows, seen_set, processed, budget, base,
+                config, web_fetch, probe_skip_bc.value, robots_cache_obj,
+            )
+            if fr.n_eligible == 0:
+                break
+            pages_r_path = catalog.table_path("pages", r)
+            write_pages_parquet(pages_r_path, fr.pages)
+            frontier_path = catalog.table_path("frontier", r)
+            write_frontier_parquet(frontier_path, fr.frontier_next)
+            pages_rounds.append(r)
+            processed += fr.due_count
+            metrics_rows.append(
+                {
+                    "round": r,
+                    "frontier_size": fr.n_eligible,
+                    "fetched": fr.due_count,
+                    "errors": fr.n_errors,
+                    "processed_total": processed,
+                    "wall_s": time.time() - t0,
+                    "seq_s": fr.seq_s,
+                    "fetch_s": fr.fetch_s,
+                    "bloom_s": 0.0,
+                    "expand_s": fr.expand_s,
+                }
+            )
+            catalog.commit(
+                r,
+                {"pages": pages_r_path, "frontier": frontier_path},
+                state={
+                    "base": base,
+                    "processed": processed,
+                    "round": r,
+                    "budget": budget,
+                    "sitemap_urls": sitemap_urls,
+                    "metrics_rows": metrics_rows,
+                    "n_host_shards": config.n_host_shards,
+                },
+            )
+            if len(fr.frontier_next) <= config.fast_round_max:
+                frontier_rows = fr.frontier_next
+            else:
+                # hand over to the Spark path: frontier + seen continue
+                # from the snapshots just written
+                frontier_rows = None
+                seen_set = None
+                frontier = spark.read.parquet(frontier_path)
+                seen = seen_from_pages(pages_rounds)
+            r += 1
+            continue
+        frontier_rows = None
+        seen_set = None
         # url_norm is carried by the frontier (seeds canonicalized at
         # seeding, expansions at discovery) — no per-round UDF pass
         f = (
@@ -370,10 +451,18 @@ def run_crawl(
         pages_out = joined.mapInPandas(
             make_fetch_extract(config.discovery), PAGES_SCHEMA
         ).observe(obs, F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"))
-        pages_r_path = catalog.write_table("pages", r, pages_out)
+        # persist BEFORE the (synchronous) snapshot write: the write job
+        # materializes the cache, and the expansion below reads the
+        # CACHED pages instead of re-reading the snapshot files —
+        # removes the per-round read-back listing job + re-scan.
+        # (An async write overlapping the expansion was tried and
+        # REVERTED: both jobs race to materialize the same cache, and
+        # the loser's tasks occupy task slots blocked on per-partition
+        # cache locks, starving the winner — measured net-slower at
+        # every parallelism level.)
+        pages_r = pages_out.persist()
+        pages_r_path = catalog.write_table("pages", r, pages_r)
         n_errors = int(obs.get["errors"] or 0)  # free: rides the write job
-        pages_r = spark.read.parquet(pages_r_path)
-        seq_cache.unpersist()
         t_fetch = time.time()
 
         # seen += processed rows (J3; error rows included, R2/R3) —
@@ -460,6 +549,8 @@ def run_crawl(
             if "err" in bloom_out:
                 raise bloom_out["err"]
             bloom_bc = bloom_out["bc"]
+        seq_cache.unpersist()
+        pages_r.unpersist()
         t_expand = time.time()
 
         processed = processed_next
@@ -499,6 +590,11 @@ def run_crawl(
 
     if not prepared:
         web_fetch.unpersist()
+
+    # the loop may end while still in fast mode (seen_set-resident):
+    # the authoritative seen set is always derivable from the pages
+    # snapshots, for fast and Spark rounds alike
+    seen = seen_from_pages(sorted(set(pages_rounds)))
 
     # assemble results across rounds
     if pages_rounds:

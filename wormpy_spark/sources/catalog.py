@@ -50,10 +50,13 @@ class SnapshotCatalog:
         return None if m is None else m["round"]
 
     # -- staged write + atomic commit ----------------------------------------
+    def table_path(self, name: str, round_id: int) -> str:
+        return os.path.join(self.root, name, f"snap-{round_id:06d}")
+
     def write_table(self, name: str, round_id: int, df: DataFrame) -> str:
         """Stage one table's snapshot for a round. Invisible to readers
         until ``commit`` swaps the manifest."""
-        path = os.path.join(self.root, name, f"snap-{round_id:06d}")
+        path = self.table_path(name, round_id)
         df.write.mode("overwrite").parquet(path)
         return path
 

@@ -113,7 +113,9 @@ def stream_sessionize(
     emits the running count in Update mode. Late/out-of-order arrivals
     across batches are the watermark problem; this operator assumes
     per-user batch-monotonic input (the crawl metrics tail satisfies
-    it) and documents that contract rather than silently mis-counting.
+    it) and documents that contract rather than silently mis-counting —
+    ``stream_sessionize_watermarked`` below is the event-time variant
+    with an explicit drop-late policy.
 
     Returns a started StreamingQuery writing to the in-memory sink
     named ``sessionize_out`` (query it with
@@ -171,6 +173,60 @@ def stream_sessionize(
         sessions.writeStream.outputMode("update")
         .format("memory")
         .queryName("sessionize_out")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_sessionize_watermarked(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    max_files_per_trigger: int = 1,
+):
+    """Event-time sessionization with an explicit LATE-DATA POLICY —
+    the watermark-complete companion of ``stream_sessionize``.
+
+    Built on Spark's native ``session_window`` aggregation (merging
+    event-time windows with a ``gap`` timeout) plus ``withWatermark``:
+
+    - out-of-order events WITHIN the watermark horizon merge into (or
+      extend) their session window exactly as batch semantics would;
+    - events older than the watermark are DROPPED (the documented
+      policy: a row later than ``watermark`` behind the stream's max
+      event time never resurrects or recounts a closed session);
+    - append mode emits one row per (user, session) only when the
+      watermark passes the session's end, so every emitted row is
+      final — resumable and exactly-once from the checkpoint.
+
+    Returns a started StreamingQuery writing to the in-memory table
+    ``sessionize_wm_out`` with columns (user_id, session_start,
+    session_end, n_events).
+    """
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    sessions = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessionize_wm_out")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
