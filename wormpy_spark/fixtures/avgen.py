@@ -3,9 +3,11 @@
 Both modalities follow the input_hint pattern: opaque ``binary``
 payloads + typed metadata columns. Two container formats per modality:
 
-- a REAL self-contained one the engine fully decodes
-  (``pcm16``: little-endian int16 mono samples;
-  ``rawrgb``: concatenated H×W×3 uint8 frames), and
+- REAL raw formats the engine fully decodes (``pcm16``: little-endian
+  int16 mono samples; ``rawrgb``: concatenated H×W×3 uint8 frames),
+- REAL compressed formats with in-repo pure-python codecs
+  (``adpcm``: IMA ADPCM 4-bit, functions/adpcm.py; ``mjpeg``:
+  length-prefixed baseline-JFIF frames, functions/jpeg.py), and
 - an EXTERNAL one (``mp3`` / ``h264``) whose bytes are opaque here —
   the engine's decode step is stubbed for those (no codec libs in the
   container) and emits typed failure rows, which is exactly the
@@ -30,14 +32,26 @@ def generate_audio(n_clips: int = 24, seed: int = 777) -> pd.DataFrame:
         wave = amp * np.sin(2 * np.pi * freq * t)
         wave += rng.normal(0, 0.02, n)
         samples = np.clip(np.rint(wave * 32767), -32768, 32767).astype("<i2")
-        fmt = "mp3" if k % 6 == 5 else "pcm16"
-        body = samples.tobytes() if fmt == "pcm16" else rng.bytes(256)
+        if k % 6 == 5:
+            fmt = "mp3"
+        elif k % 3 == 1:
+            fmt = "adpcm"
+        else:
+            fmt = "pcm16"
+        if fmt == "pcm16":
+            body = samples.tobytes()
+        elif fmt == "adpcm":
+            from ..functions.adpcm import encode_adpcm
+
+            body = encode_adpcm(samples)
+        else:
+            body = rng.bytes(256)
         rows.append(
             {
                 "audio_id": f"aud_{k:06d}",
                 "bytes": body,
                 "sample_rate": np.int32(sr),
-                "n_samples": np.int32(n if fmt == "pcm16" else 0),
+                "n_samples": np.int32(0 if fmt == "mp3" else n),
                 "fmt": fmt,
                 "caption": f"clip {k} tone {int(freq)}hz",
             }
@@ -58,15 +72,30 @@ def generate_video(n_videos: int = 8, seed: int = 888) -> pd.DataFrame:
             drift = rng.integers(-3, 4, size=(h, w, 3))
             base = np.clip(base + drift, 0, 255)
             frames.append(base.astype(np.uint8))
-        fmt = "h264" if k % 4 == 3 else "rawrgb"
-        body = b"".join(f.tobytes() for f in frames) if fmt == "rawrgb" else rng.bytes(512)
+        if k % 4 == 3:
+            fmt = "h264"
+        elif k % 4 == 2:
+            fmt = "mjpeg"
+        else:
+            fmt = "rawrgb"
+        if fmt == "rawrgb":
+            body = b"".join(f.tobytes() for f in frames)
+        elif fmt == "mjpeg":
+            import struct
+
+            from ..functions.jpeg import encode_jpeg
+
+            jpegs = [encode_jpeg(f, quality=98) for f in frames]
+            body = b"".join(struct.pack("<I", len(j)) + j for j in jpegs)
+        else:
+            body = rng.bytes(512)
         rows.append(
             {
                 "video_id": f"vid_{k:06d}",
                 "bytes": body,
                 "w": np.int32(w),
                 "h": np.int32(h),
-                "n_frames": np.int32(n_frames if fmt == "rawrgb" else 0),
+                "n_frames": np.int32(0 if fmt == "h264" else n_frames),
                 "fps": np.int32(10),
                 "fmt": fmt,
                 "caption": f"video {k}",

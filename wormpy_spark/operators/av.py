@@ -4,12 +4,14 @@ frame-sample as Arrow-batched mapInPandas passes.
 Same contract as the image layer (operators/multimodal.py): payloads
 are opaque ``binary`` columns with typed metadata; the Spark plumbing
 (schemas, batching, partition behavior, failure rows) is real and
-tested; the decode table carries one REAL self-contained codec per
-modality (pcm16 / rawrgb — see fixtures/avgen.py) and STUBS external
-formats (mp3/h264 — no codec libraries in this container): those rows
-come back decode_ok=false with null features, never task failures.
-A deployment drops ffmpeg/soundfile into ``_decode_audio`` /
-``_iter_frames`` without touching anything Spark-side.
+tested; the decode table carries REAL codecs per modality — raw
+(pcm16 / rawrgb) AND compressed (IMA ADPCM via functions/adpcm.py;
+MJPEG via the pure-numpy baseline-JFIF decoder in functions/jpeg.py)
+— and STUBS the remaining external formats (mp3/h264 — no codec
+libraries in this container): those rows come back decode_ok=false
+with null features, never task failures. A deployment drops
+ffmpeg/soundfile into ``_decode_audio`` / ``_iter_frames`` without
+touching anything Spark-side.
 
 Features are deterministic and rounded to 4 dp so the DuckDB sidecar
 oracle can compare them exactly.
@@ -32,9 +34,14 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def _decode_audio(body: bytes, fmt: str, sample_rate: int) -> np.ndarray:
-    """Real decoder for pcm16; external formats raise (stub point)."""
+    """Real decoders for pcm16 + IMA ADPCM; external formats raise
+    (the stub point a deployment fills with ffmpeg/soundfile)."""
     if fmt == "pcm16":
         return np.frombuffer(body, dtype="<i2").astype(np.float64) / 32768.0
+    if fmt == "adpcm":
+        from ..functions.adpcm import decode_adpcm
+
+        return decode_adpcm(body).astype(np.float64) / 32768.0
     raise NotImplementedError(f"no {fmt} decoder in this environment")
 
 
@@ -80,12 +87,25 @@ FRAME_SAMPLE_SCHEMA = (
 
 
 def _iter_frames(body: bytes, fmt: str, w: int, h: int, n_frames: int):
-    """Real frame iterator for rawrgb; external formats raise (stub)."""
+    """Real frame iterators for rawrgb and MJPEG (length-prefixed JFIF
+    stream, decoded by the in-repo baseline-JPEG decoder); external
+    formats raise (the stub point for an ffmpeg-equipped deployment)."""
     if fmt == "rawrgb":
         sz = w * h * 3
         for f in range(n_frames):
             chunk = body[f * sz : (f + 1) * sz]
             yield np.frombuffer(chunk, np.uint8).reshape(h, w, 3)
+        return
+    if fmt == "mjpeg":
+        import struct
+
+        from ..functions.jpeg import decode_jpeg
+
+        pos = 0
+        while pos + 4 <= len(body):
+            (ln,) = struct.unpack_from("<I", body, pos)
+            yield decode_jpeg(body[pos + 4 : pos + 4 + ln])
+            pos += 4 + ln
         return
     raise NotImplementedError(f"no {fmt} demuxer in this environment")
 

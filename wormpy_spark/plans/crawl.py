@@ -90,8 +90,11 @@ class CrawlConfig:
     n_host_shards: int = 64
     # below this, the seen keys broadcast whole (anti_join_seen); above
     # it the bloom sidecar takes over as the no-shuffle pre-filter —
-    # its bitmap broadcast is ~30x smaller than the raw keys
-    bloom_min_seen: int = 100_000
+    # its bitmap broadcast is ~30x smaller than the raw keys. 500k keys
+    # ≈ 35 MB of (hash, url) — still comfortably broadcastable; below
+    # that the broadcast anti-join measures faster than the bloom
+    # UDF + suspect-shuffle path (pinned 2v8 phase profile, round 4)
+    bloom_min_seen: int = 500_000
     # max suspicious-image rows collectable for the probe fast path
     # (above this the per-round probe semi-join runs instead); 0
     # forces the join path (used by parity tests)
