@@ -212,3 +212,48 @@ def test_driver_fast_path_equals_spark_path(spark, small_corpus):
     assert all_fast == spark_path
     assert mixed == spark_path
     assert len(spark_path[0]) > 5
+
+
+def test_assign_global_seq_bucket_path_equals_sampling(spark):
+    """The deterministic-bucket seq path (driver-known parent_seq
+    bounds, no sampling job) must assign the exact same dense sequence
+    as the range-partition sampling path — with tight bounds, loose
+    bounds, bounds clamping (rows outside [lo, hi]), and empty input."""
+    import random
+
+    from wormpy_spark.operators.frontier import (
+        FRONTIER_SCHEMA,
+        PRIORITY_COLS,
+        assign_global_seq,
+    )
+
+    rng = random.Random(31337)
+    rows = []
+    for i in range(5000):
+        parent = rng.randrange(1000, 9000)
+        rows.append(
+            (f"https://h.test/p/{i}", 7, parent, rng.randrange(1, 300),
+             f"https://h.test/p/{i}")
+        )
+    df = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+    def run(**kw):
+        out, total, handle = assign_global_seq(df, PRIORITY_COLS, start=123, **kw)
+        got = [
+            (r["seq"], r["url"]) for r in out.select("seq", "url").collect()
+        ]
+        handle.unpersist()
+        return total, sorted(got)
+
+    base_total, base = run()
+    assert base_total == 5000
+    for bounds in [(1000, 9000), (0, 100000), (2000, 3000)]:  # tight/loose/clamped
+        t, got = run(range_bucket=("parent_seq", *bounds))
+        assert t == 5000 and got == base, f"bounds {bounds} diverged"
+
+    empty = spark.createDataFrame([], FRONTIER_SCHEMA)
+    out, total, handle = assign_global_seq(
+        empty, PRIORITY_COLS, start=0, range_bucket=("parent_seq", -1, 0)
+    )
+    assert total == 0 and out.count() == 0
+    handle.unpersist()

@@ -92,6 +92,11 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
         use_bloom=True,
         checkpoint_dir=ckpt,
     )
+    # experiment knob: seen-count threshold where the bloom sidecar
+    # (overlapped build, scalable per-row check) replaces the per-round
+    # driver-serial broadcast build of the seen keys
+    if os.environ.get("SPARK_GRAFT_BLOOM_MIN"):
+        cfg.bloom_min_seen = int(os.environ["SPARK_GRAFT_BLOOM_MIN"])
     res = run_crawl(spark, web, cfg)
     n_pages = res.processed  # exact by construction; no extra scan
 
@@ -101,8 +106,15 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
     )
     img_subset = images.join(fetched_images, on="image_id", how="left_semi")
     ver = decode_verify(img_subset, truth).cache()
-    n_verified = ver.count()
-    n_bad = ver.filter(~(F.col("sha_ok") & F.col("caption_ok"))).count()
+    # one aggregation job yields both counts (and materializes the
+    # cache); the neardup pair join is the only other action
+    agg = ver.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (~(F.col("sha_ok") & F.col("caption_ok"))).cast("int")
+        ).alias("bad"),
+    ).collect()[0]
+    n_verified, n_bad = int(agg["n"]), int(agg["bad"] or 0)
     n_neardup = phash_neardup_pairs(ver.filter(F.col("phash").isNotNull())).count()
     wall = time.time() - t0
 

@@ -59,6 +59,7 @@ def assign_global_seq(
     start: int = 0,
     seq_col: str = "seq",
     n_partitions: int | None = None,
+    range_bucket: tuple[str, int, int] | None = None,
 ) -> tuple[DataFrame, int, DataFrame]:
     """Dense 0-based global sequence in (order_cols) order, offset by
     ``start``. Scales: range partition → local rank → offset map.
@@ -66,7 +67,7 @@ def assign_global_seq(
     by construction). Returns (df_with_seq, row_count, cache_handle) —
     the count is a free by-product of the offset computation.
 
-    TWO caches are taken and bundled into the returned handle:
+    Default (sampling) path — TWO caches bundled into the handle:
     - the INPUT is persisted because repartitionByRange's range
       partitioner runs a separate SAMPLING job over its child — without
       the cache every caller's upstream chain (the crawl's whole
@@ -75,15 +76,43 @@ def assign_global_seq(
       its boundaries per execution (RDD-id-seeded), so without it the
       counts job and the downstream job could place a boundary row in
       different partitions, corrupting the offsets.
-    The counts collect materializes both; the caller must unpersist the
-    handle once downstream results are materialized."""
+
+    ``range_bucket=(col, lo, hi)`` path — when the CALLER already knows
+    value bounds of a column such that (a) ``col`` rides ``order_cols``'
+    total order (every earlier order_cols prefix is constant across the
+    input, as the crawl frontier's ``round_enqueued`` is whenever no
+    per-host deferral is configured) and (b) all values fall in
+    [lo, hi], bucket boundaries are DETERMINISTIC arithmetic — no
+    sampling job, no second cache, ONE blocking action instead of two
+    per call. Bounds need not be tight (looser bounds only skew bucket
+    sizes, never ordering): bucketing is a monotone map, so
+    cross-bucket order is exact and the within-bucket window restores
+    the full total order.
+    The counts collect materializes the cache(s); the caller must
+    unpersist the handle once downstream results are materialized."""
     order_cols = order_cols or PRIORITY_COLS
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    src = df.persist()
-    ranged = src.repartitionByRange(n_partitions, *[F.col(c) for c in order_cols])
-    ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+    if range_bucket is not None:
+        col, lo, hi = range_bucket
+        span = max(int(hi) - int(lo), 1)
+        # integer DIV keeps the map exactly monotone at any magnitude
+        bucket = F.expr(
+            f"CAST((({col} - {int(lo)}L) * {n_partitions}L) DIV {span}L AS INT)"
+        )
+        bucket = F.least(
+            F.lit(n_partitions - 1), F.greatest(F.lit(0), bucket)
+        )
+        ranged = df.withColumn("_pid", bucket).persist()
+        handle_dfs = (ranged,)
+    else:
+        src = df.persist()
+        ranged = src.repartitionByRange(
+            n_partitions, *[F.col(c) for c in order_cols]
+        )
+        ranged = ranged.withColumn("_pid", F.spark_partition_id()).persist()
+        handle_dfs = (src, ranged)
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets: dict[int, int] = {}
     acc = start
@@ -91,7 +120,7 @@ def assign_global_seq(
         offsets[pid] = acc
         acc += counts[pid]
     total = acc - start
-    handle = _SeqCaches(src, ranged)
+    handle = _SeqCaches(*handle_dfs)
     if not offsets:  # empty input — keep the schema, no rows
         return ranged.drop("_pid").withColumn(seq_col, F.lit(0).cast("long")), 0, handle
     mapping = F.create_map(

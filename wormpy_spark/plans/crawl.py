@@ -257,6 +257,10 @@ def run_crawl(
             )
         start_round = state["round"] + 1
         processed = state["processed"]
+        # frontier parent_seq bounds for the bucketed seq path; old
+        # checkpoints lack the key — (-1, processed) is always valid
+        # (loose bounds skew buckets, never ordering)
+        parent_bounds = tuple(state.get("parent_bounds", (-1, processed)))
         sitemap_urls = state.get("sitemap_urls", [])
         frontier = catalog.read(spark, "frontier")
         seen = seen_from_pages(catalog.rounds())
@@ -286,6 +290,7 @@ def run_crawl(
         frontier = spark.createDataFrame(seed_rows, FRONTIER_SCHEMA)
         frontier_rows = list(seed_rows)
         seen_set = set()
+        parent_bounds = (-1, 0)  # seeds carry parent_seq = -1
 
     pages_rounds: list[int] = catalog.rounds() if config.resume else []
     bloom_bc = None
@@ -315,6 +320,7 @@ def run_crawl(
             write_frontier_parquet(frontier_path, fr.frontier_next)
             pages_rounds.append(r)
             processed += fr.due_count
+            parent_bounds = (processed - fr.due_count, processed)
             metrics_rows.append(
                 {
                     "round": r,
@@ -340,6 +346,7 @@ def run_crawl(
                     "sitemap_urls": sitemap_urls,
                     "metrics_rows": metrics_rows,
                     "n_host_shards": config.n_host_shards,
+                "parent_bounds": list(parent_bounds),
                 },
             )
             if len(fr.frontier_next) <= config.fast_round_max:
@@ -349,7 +356,7 @@ def run_crawl(
                 # from the snapshots just written
                 frontier_rows = None
                 seen_set = None
-                frontier = spark.read.parquet(frontier_path)
+                frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(frontier_path)
                 seen = seen_from_pages(pages_rounds)
             r += 1
             continue
@@ -418,9 +425,20 @@ def run_crawl(
         # one computation of the whole filter chain per round: the seq
         # assignment persists its range-partitioned output (also pinning
         # the partitioning so offsets stay valid — see assign_global_seq),
-        # its count collect materializes the cache, and the fetch reuses it
+        # its count collect materializes the cache, and the fetch reuses it.
+        # Without deferral every frontier row shares round_enqueued, and
+        # parent_seq is bounded by the previous round's seq range (driver-
+        # known) — deterministic bucket boundaries, which drops the range
+        # partitioner's per-round SAMPLING job (half the seq phase's fixed
+        # job cost). Deferral mixes round_enqueued values, where parent_seq
+        # alone is not monotone in the priority order → sampling path.
+        bucket_hint = (
+            ("parent_seq", parent_bounds[0], parent_bounds[1])
+            if config.max_per_host_per_round is None
+            else None
+        )
         seqd, n_eligible, seq_cache = assign_global_seq(
-            eligible, PRIORITY_COLS, start=processed
+            eligible, PRIORITY_COLS, start=processed, range_bucket=bucket_hint
         )
         t_seq = time.time()
         if n_eligible == 0:
@@ -546,7 +564,7 @@ def run_crawl(
             # ahead of this round's expansions next round
             frontier_next = deferred.unionByName(frontier_next)
         frontier_path = catalog.write_table("frontier", r, frontier_next)
-        frontier = spark.read.parquet(frontier_path)
+        frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(frontier_path)
         if bloom_thread is not None:
             bloom_thread.join()
             if "err" in bloom_out:
@@ -556,6 +574,9 @@ def run_crawl(
         pages_r.unpersist()
         t_expand = time.time()
 
+        # next frontier's parents are this round's pages (seq range
+        # [processed, processed_next)) — the bucketed seq path's bounds
+        parent_bounds = (processed, processed_next)
         processed = processed_next
         metrics_rows.append(
             {
@@ -586,6 +607,7 @@ def run_crawl(
                 "sitemap_urls": sitemap_urls,
                 "metrics_rows": metrics_rows,
                 "n_host_shards": config.n_host_shards,
+                "parent_bounds": list(parent_bounds),
             },
         )
 
