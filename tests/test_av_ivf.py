@@ -35,7 +35,7 @@ def test_audio_features_real_and_stub(spark):
     assert len(rows) == 12
     for _, src in pdf.iterrows():
         got = rows[src["audio_id"]]
-        if src["fmt"] in ("pcm16", "adpcm"):  # both decode for real
+        if src["fmt"] in ("pcm16", "adpcm", "wav"):  # all decode for real
             assert got["decode_ok"] and got["rms"] > 0 and got["duration_s"] > 0
             # duration must equal n_samples / sample_rate exactly (4 dp)
             assert got["duration_s"] == round(
@@ -53,7 +53,7 @@ def test_video_frame_fanout_and_phash(spark):
         by_vid.setdefault(r["video_id"], []).append(r)
     for _, src in pdf.iterrows():
         got = by_vid[src["video_id"]]
-        if src["fmt"] in ("rawrgb", "mjpeg"):  # both decode for real
+        if src["fmt"] in ("rawrgb", "mjpeg", "y4m"):  # all decode for real
             n_expected = (int(src["n_frames"]) + 1) // 2
             assert len(got) == n_expected
             assert all(r["decode_ok"] and r["frame_ix"] % 2 == 0 for r in got)
@@ -177,3 +177,41 @@ def test_adpcm_and_mjpeg_real_compressed_codecs(spark):
             }
             got_v = {r["frame_ix"]: r["frame_phash"] for r in out}
             assert got_v == want
+
+
+def test_wav_and_y4m_real_container_codecs(spark):
+    """RIFF/WAV audio rows and YUV4MPEG2 video rows decode for real:
+    wav features match a local decode of the same bytes; y4m frame
+    phashes equal phashes of locally-decoded frames."""
+    import numpy as np
+
+    from wormpy_spark.fixtures.avgen import generate_audio, generate_video
+    from wormpy_spark.fixtures.spark_tables import audio_to_spark, video_to_spark
+    from wormpy_spark.functions.wav import decode_wav
+    from wormpy_spark.functions.y4m import iter_y4m_frames
+    from wormpy_spark.functions.imageops import phash64
+    from wormpy_spark.operators.av import audio_features, video_frame_sample
+
+    audio = generate_audio(n_clips=18, seed=8811)
+    assert (audio["fmt"] == "wav").any()
+    got = {r["audio_id"]: r for r in audio_features(audio_to_spark(spark, audio)).collect()}
+    for _, r in audio[audio["fmt"] == "wav"].iterrows():
+        g = got[r["audio_id"]]
+        assert g["decode_ok"] is True
+        samples, sr = decode_wav(bytes(r["bytes"]))
+        assert sr == int(r["sample_rate"]) and len(samples) == int(r["n_samples"])
+        x = samples.astype(np.float64) / 32768.0
+        assert g["rms"] == round(float(np.sqrt((x * x).mean())), 4)
+
+    video = generate_video(n_videos=9, seed=8822)
+    assert (video["fmt"] == "y4m").any()
+    rows = video_frame_sample(video_to_spark(spark, video), every_k=2).collect()
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    for _, v in video[video["fmt"] == "y4m"].iterrows():
+        frames = list(iter_y4m_frames(bytes(v["bytes"])))
+        assert len(frames) == int(v["n_frames"])
+        want = {ix: phash64(f) for ix, f in enumerate(frames) if ix % 2 == 0}
+        got_v = {r["frame_ix"]: r["frame_phash"] for r in by_vid[v["video_id"]]}
+        assert got_v == want

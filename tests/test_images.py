@@ -135,3 +135,44 @@ def test_jpg_in_codec_table_and_fixture():
     for _, r in images[images["fmt"] == "jpg"].iterrows():
         dec = decode_image(bytes(r["bytes"]), "jpg")
         assert dec.shape == (int(r["h"]), int(r["w"]), 3)
+
+
+def test_gif_codec_real_lzw_roundtrip():
+    """GIF89a: byte-exact on <=256-color input (the posterized pixels a
+    real GIF writer's quantizer produces), correct variable-width LZW
+    including dictionary resets past 4096 codes, and structural bytes a
+    foreign decoder would check."""
+    import numpy as np
+
+    from wormpy_spark.functions.gif import decode_gif, encode_gif, posterize252
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    for h, w in ((1, 1), (16, 16), (61, 127), (300, 300)):
+        px = posterize252(rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8))
+        data = encode_gif(px)
+        assert data[:6] == b"GIF89a" and data[-1:] == b"\x3b"
+        assert np.array_equal(decode_gif(data), px)
+    solid = np.full((40, 40, 3), 200, np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(solid)), solid)
+    assert encode_gif(solid) == encode_gif(solid)  # deterministic
+
+
+def test_gif_in_fixture_mix():
+    from wormpy_spark.fixtures.imagegen import FMTS, generate_images
+    from wormpy_spark.functions.imageops import decode_image
+
+    assert "gif" in FMTS
+    images, truth = generate_images(n_images=40, seed=555)
+    gif_rows = images[images["fmt"] == "gif"]
+    assert len(gif_rows) > 0, "fixture never drew a gif"
+    truth_by_id = truth.set_index("image_id")
+    import hashlib
+
+    for _, r in gif_rows.iterrows():
+        dec = decode_image(bytes(r["bytes"]), "gif")
+        assert dec.shape == (int(r["h"]), int(r["w"]), 3)
+        # gif is lossless on its (posterized) pixels: sha-exact
+        assert (
+            hashlib.sha256(dec.tobytes()).hexdigest()
+            == truth_by_id.loc[r["image_id"], "pixels_sha256"]
+        )

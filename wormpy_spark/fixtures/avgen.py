@@ -5,9 +5,11 @@ payloads + typed metadata columns. Two container formats per modality:
 
 - REAL raw formats the engine fully decodes (``pcm16``: little-endian
   int16 mono samples; ``rawrgb``: concatenated H×W×3 uint8 frames),
-- REAL compressed formats with in-repo pure-python codecs
-  (``adpcm``: IMA ADPCM 4-bit, functions/adpcm.py; ``mjpeg``:
-  length-prefixed baseline-JFIF frames, functions/jpeg.py), and
+- REAL standard containers/codecs with in-repo pure-python
+  implementations (``adpcm``: IMA ADPCM 4-bit, functions/adpcm.py;
+  ``wav``: RIFF PCM16, functions/wav.py; ``mjpeg``: length-prefixed
+  baseline-JFIF frames, functions/jpeg.py; ``y4m``: YUV4MPEG2 C444,
+  functions/y4m.py), and
 - an EXTERNAL one (``mp3`` / ``h264``) whose bytes are opaque here —
   the engine's decode step is stubbed for those (no codec libs in the
   container) and emits typed failure rows, which is exactly the
@@ -36,6 +38,8 @@ def generate_audio(n_clips: int = 24, seed: int = 777) -> pd.DataFrame:
             fmt = "mp3"
         elif k % 3 == 1:
             fmt = "adpcm"
+        elif k % 6 == 2:
+            fmt = "wav"
         else:
             fmt = "pcm16"
         if fmt == "pcm16":
@@ -44,6 +48,10 @@ def generate_audio(n_clips: int = 24, seed: int = 777) -> pd.DataFrame:
             from ..functions.adpcm import encode_adpcm
 
             body = encode_adpcm(samples)
+        elif fmt == "wav":
+            from ..functions.wav import encode_wav
+
+            body = encode_wav(samples, sr)
         else:
             body = rng.bytes(256)
         rows.append(
@@ -76,10 +84,16 @@ def generate_video(n_videos: int = 8, seed: int = 888) -> pd.DataFrame:
             fmt = "h264"
         elif k % 4 == 2:
             fmt = "mjpeg"
+        elif k % 4 == 1:
+            fmt = "y4m"
         else:
             fmt = "rawrgb"
         if fmt == "rawrgb":
             body = b"".join(f.tobytes() for f in frames)
+        elif fmt == "y4m":
+            from ..functions.y4m import encode_y4m
+
+            body = encode_y4m(frames, 10)
         elif fmt == "mjpeg":
             import struct
 

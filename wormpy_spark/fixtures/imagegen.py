@@ -18,7 +18,7 @@ import pandas as pd
 
 from ..functions.imageops import LOSSLESS, decode_image, encode_image, phash64
 
-FMTS = ("png", "bmp", "qnt", "jpg")
+FMTS = ("png", "bmp", "qnt", "jpg", "gif")
 
 _CAPTION_VOCAB = (
     "red blue green small large striped plain bright dark soft "
@@ -84,6 +84,12 @@ def generate_images(
             pixels = _smooth_pixels(rng, w, h)
             originals.append((image_id, pixels))
 
+        if fmt == "gif":
+            # a real GIF writer quantizes to <=256 colors before LZW;
+            # the codec is then byte-exact on the posterized pixels
+            from ..functions.gif import posterize252
+
+            pixels = posterize252(pixels)
         h, w, _ = pixels.shape
         data = encode_image(pixels, fmt)
         # ground truth is what a reader will actually reconstruct

@@ -136,6 +136,18 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     return decode_jpeg(data)
 
 
+def _encode_gif(pixels: np.ndarray) -> bytes:
+    from .gif import encode_gif
+
+    return encode_gif(pixels)
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    from .gif import decode_gif
+
+    return decode_gif(data)
+
+
 CODECS = {
     "bmp": (encode_bmp, decode_bmp),
     "png": (encode_png, decode_png),
@@ -143,9 +155,13 @@ CODECS = {
     # real baseline JFIF, pure numpy (functions/jpeg.py) — the format a
     # production corpus is mostly made of
     "jpg": (_encode_jpeg_q98, _decode_jpeg),
+    # real GIF89a LZW (functions/gif.py); byte-exact on ≤256-color
+    # input — the fixture posterizes first, as any real GIF writer's
+    # quantizer does
+    "gif": (_encode_gif, _decode_gif),
 }
 
-LOSSLESS = {"bmp", "png"}
+LOSSLESS = {"bmp", "png", "gif"}
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:

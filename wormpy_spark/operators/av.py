@@ -5,9 +5,11 @@ Same contract as the image layer (operators/multimodal.py): payloads
 are opaque ``binary`` columns with typed metadata; the Spark plumbing
 (schemas, batching, partition behavior, failure rows) is real and
 tested; the decode table carries REAL codecs per modality — raw
-(pcm16 / rawrgb) AND compressed (IMA ADPCM via functions/adpcm.py;
-MJPEG via the pure-numpy baseline-JFIF decoder in functions/jpeg.py)
-— and STUBS the remaining external formats (mp3/h264 — no codec
+(pcm16 / rawrgb), standard containers (RIFF/WAV via functions/wav.py;
+YUV4MPEG2 via functions/y4m.py) AND compressed (IMA ADPCM via
+functions/adpcm.py; MJPEG via the pure-numpy baseline-JFIF decoder in
+functions/jpeg.py) — and STUBS the remaining external formats
+(mp3/h264 — no codec
 libraries in this container): those rows come back decode_ok=false
 with null features, never task failures. A deployment drops
 ffmpeg/soundfile into ``_decode_audio`` / ``_iter_frames`` without
@@ -42,6 +44,10 @@ def _decode_audio(body: bytes, fmt: str, sample_rate: int) -> np.ndarray:
         from ..functions.adpcm import decode_adpcm
 
         return decode_adpcm(body).astype(np.float64) / 32768.0
+    if fmt == "wav":
+        from ..functions.wav import decode_wav
+
+        return decode_wav(body)[0].astype(np.float64) / 32768.0
     raise NotImplementedError(f"no {fmt} decoder in this environment")
 
 
@@ -106,6 +112,11 @@ def _iter_frames(body: bytes, fmt: str, w: int, h: int, n_frames: int):
             (ln,) = struct.unpack_from("<I", body, pos)
             yield decode_jpeg(body[pos + 4 : pos + 4 + ln])
             pos += 4 + ln
+        return
+    if fmt == "y4m":
+        from ..functions.y4m import iter_y4m_frames
+
+        yield from iter_y4m_frames(body)
         return
     raise NotImplementedError(f"no {fmt} demuxer in this environment")
 
