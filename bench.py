@@ -54,8 +54,10 @@ HEADLINE = [
     "q5_region_revenue",
     "events_sessionize",
     "dedup_minhash_lsh",
+    "dedup_cluster_assign",
     "dedup_simhash",
     "text_fingerprint",
+    "text_tfidf_topk",
     "dedup_embedding_blocked",
     "dedup_embedding_lsh",
     "ann_topk_bruteforce",

@@ -130,3 +130,30 @@ def test_cuckoo_filter_contract():
     assert c.delete(half).all()
     assert c.might_contain(keys[len(keys) // 2 :]).all()
     assert c.might_contain(half).mean() < 0.01  # only residual FPP left
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation must close transitive chains (A-B, B-C,
+    C-D => one cluster labeled min id) across multiple iterations, keep
+    disjoint clusters separate, and be deterministic."""
+    from wormpy_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            # a 6-node chain (diameter 5 → several propagation rounds)
+            (10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+            # a triangle, listed out of order
+            (22, 21), (21, 20), (22, 20),
+            # an isolated pair
+            (31, 30),
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }

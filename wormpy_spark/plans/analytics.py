@@ -271,6 +271,71 @@ FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
 WHERE 10 * inter >= 8 * (ca.n + cb.n - inter)
 """
 
+# TF-IDF top-terms per document. The idf is the BM25-flavored rational
+# (N - df + 0.5)/(df + 0.5) rather than a log: every input is an exact
+# small integer ± 0.5, and IEEE requires exactly-rounded * and /, so
+# the score is BIT-IDENTICAL across engines (ln() is only
+# faithfully-rounded and could diverge in the last ulp on a tie).
+# Deterministic top-3 by (score DESC, term ASC).
+TFIDF_SPARK = """
+WITH words AS (
+  SELECT doc_id, explode(split(trim(lower(text)), '\\\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (n.n - df.df + 0.5D) / (df.df + 0.5D), 4) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (n.n - df.df + 0.5D) / (df.df + 0.5D) DESC,
+                    tf.term) AS rk
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT doc_id, term, tfidf, rk FROM scored WHERE rk <= 3
+"""
+TFIDF_DUCK = """
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (n.n - df.df + 0.5) / (df.df + 0.5), 4) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (n.n - df.df + 0.5) / (df.df + 0.5) DESC,
+                    tf.term) AS rk
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+SELECT doc_id, term, tfidf, rk FROM scored WHERE rk <= 3
+"""
+
+# dedup cluster assignment oracle: transitive closure of the
+# brute-force jaccard pairs (the same ground truth that certifies the
+# MinHash-LSH pairs) via a recursive CTE; cluster = min doc_id
+# reachable. The Spark side computes the same fixpoint with the
+# distributed label-propagation operator (operators/components.py)
+# over the LSH pairs.
+CLUSTER_DUCK = f"""
+WITH RECURSIVE jp AS ({NGRAM_JACCARD_DUCK}),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM jp
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM jp),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       (c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id) AS is_dup
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+"""
+
 # simhash (32-bit, frequency-weighted) via the shared char-polynomial
 # word hash — bit-identical across engines
 SIMHASH_BITS = 32
@@ -513,6 +578,7 @@ REGISTRY: dict[str, tuple] = {
     "text_quality": (_sql(QUALITY_SQL_SPARK), QUALITY_SQL_DUCK),
     "text_token_count": (_sql(TOKENS_SQL_SPARK), TOKENS_SQL_DUCK),
     "text_fingerprint": (_sql(FINGERPRINT_SQL_SPARK), FINGERPRINT_SQL_DUCK),
+    "text_tfidf_topk": (_sql(TFIDF_SPARK), TFIDF_DUCK),
     "dedup_embedding_cosine": (_sql(EMB_COSINE_SPARK), EMB_COSINE_DUCK),
     "ann_topk_bruteforce": (_sql(ANN_TOPK_SPARK), ANN_TOPK_DUCK),
 }
