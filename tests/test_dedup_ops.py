@@ -149,11 +149,20 @@ def test_connected_components_chain_and_clusters(spark):
         ],
         "doc_a long, doc_b long",
     )
-    got = {
-        r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()
-    }
-    assert got == {
+    want = {
         10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
         20: 20, 21: 20, 22: 20,
         30: 30, 31: 30,
     }
+    # driver fast path (default) and the distributed min-label loop
+    # (driver_max_edges=0 forces it) must agree exactly
+    fast = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == want and dist == want
+    # empty pair list → empty result on both paths
+    empty = pairs.limit(0)
+    assert connected_components(empty).count() == 0
+    assert connected_components(empty, driver_max_edges=0).count() == 0

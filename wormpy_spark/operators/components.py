@@ -29,18 +29,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_labels(edge_rows: list[tuple]) -> list[tuple]:
+    """Driver-side union-find → (id, min id in component) rows."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN root keeps the label the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = set()
+    for a, b in edge_rows:
+        nodes.add(a)
+        nodes.add(b)
+    return [(x, find(x)) for x in sorted(nodes)]
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(a, b) undirected pair list → (id, cluster_id) for every node
     that appears in at least one pair; cluster_id = min node id in the
-    connected component. Deterministic (unique fixpoint)."""
+    connected component. Deterministic (unique fixpoint).
+
+    Two execution paths, same contract (parity-tested):
+    - ``driver fast path``: verified near-dup pairs are RARE relative
+      to the corpus (that is the point of deduplication), so the edge
+      list usually fits in the driver's hand even at 100-TB corpus
+      scale; below ``driver_max_edges`` distinct pairs the closure is
+      one bounded collect + union-find (the same tiny-rounds pattern as
+      plans/fastround.py). The collect is bounded and counted BEFORE
+      collecting — never a blind materialization.
+    - ``distributed path``: iterative min-label propagation, one
+      join + map-side-combinable groupBy-min + one aggregation action
+      per round, O(diameter) rounds. ``driver_max_edges=0`` forces it
+      (tests; adversarially huge pair lists)."""
+    spark = pairs.sparkSession
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = fwd.unionByName(rev).distinct().persist()
+
+    n_edges = edges.count()
+    if n_edges <= driver_max_edges:
+        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        edges.unpersist()
+        out = _union_find_labels(rows)
+        schema = "id long, cluster_id long"
+        if out and not isinstance(out[0][0], int):
+            schema = "id string, cluster_id string"
+        return spark.createDataFrame(out, schema)
 
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -48,28 +98,44 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .persist()
     )
-    labels.count()  # materialize before the loop re-derives from it
+    n_nodes = labels.count()  # materialize before the loop re-derives
 
+    # size the iteration shuffles to the GRAPH, not the session default:
+    # the label table is usually tiny next to the corpus (only paired
+    # docs appear), and a 32-partition shuffle per round on a 500-row
+    # graph is pure task-scheduling overhead. ~100k labels per
+    # partition; grows back to the session width for billion-edge runs.
+    default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = max(1, min(default_p, n_nodes // 100_000 + 1))
+    edges2 = edges.repartition(n_part, "src").persist()
+    edges2.count()
+    edges.unpersist()
+
+    # convergence via monotonicity: min-propagation never increases a
+    # label, so the label-sum strictly decreases until the fixpoint and
+    # is unchanged exactly there — ONE aggregation job per round (which
+    # also materializes the new labels), no separate anti-join probe.
+    # decimal(38,0) keeps the sum exact at any scale (1e10 ids → 1e20).
+    prev_sum = None
     for _ in range(max_iter):
-        msgs = edges.join(
-            labels, edges["src"] == labels["id"], "inner"
+        msgs = edges2.join(
+            labels, edges2["src"] == labels["id"], "inner"
         ).select(F.col("dst").alias("id"), "label")
         new_labels = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .repartition(n_part, "id")
             .persist()
         )
-        # fixpoint test: any (id, label) not present before?
-        changed = (
-            new_labels.join(labels, ["id", "label"], "left_anti")
-            .limit(1)
-            .count()
-        )
+        row = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and row["s"] == prev_sum:
             break
+        prev_sum = row["s"]
 
-    edges.unpersist()
+    edges2.unpersist()
     return labels.select("id", F.col("label").alias("cluster_id"))
