@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_simhash",
     "text_fingerprint",
     "text_tfidf_topk",
+    "text_bigram_lift",
     "dedup_embedding_blocked",
     "dedup_embedding_lsh",
     "ann_topk_bruteforce",

@@ -312,6 +312,49 @@ scored AS (
 SELECT doc_id, term, tfidf, rk FROM scored WHERE rk <= 3
 """
 
+# bigram collocations: top adjacent word pairs by lift
+# nxy·N / (nx·ny) — the PMI argument without the log, so the score is
+# a quotient of exactly-representable integers (< 2^53) and IEEE
+# division makes it bit-identical across engines. Deterministic top-50
+# by (lift DESC, w1, w2). Arrays are 1-indexed in BOTH dialects used
+# (Spark element_at, DuckDB w[i]).
+BIGRAM_LIFT_SPARK = """
+WITH words AS (
+  SELECT split(trim(lower(text)), '\\\\s+') AS w FROM documents),
+uni AS (SELECT explode(w) AS t FROM words),
+ucnt AS (SELECT t, count(*) AS n FROM uni GROUP BY t),
+tot AS (SELECT count(*) AS n FROM uni),
+big AS (
+  SELECT element_at(w, i) AS w1, element_at(w, i + 1) AS w2
+  FROM words LATERAL VIEW explode(sequence(1, size(w) - 1)) AS i
+  WHERE size(w) >= 2),
+bcnt AS (SELECT w1, w2, count(*) AS nxy FROM big GROUP BY w1, w2)
+SELECT w1, w2, nxy,
+       round((cast(nxy AS double) * tot.n) / (cast(a.n AS double) * b.n), 4)
+         AS lift
+FROM bcnt JOIN ucnt a ON a.t = w1 JOIN ucnt b ON b.t = w2 CROSS JOIN tot
+ORDER BY lift DESC, w1, w2
+LIMIT 50
+"""
+BIGRAM_LIFT_DUCK = """
+WITH words AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
+uni AS (SELECT unnest(w) AS t FROM words),
+ucnt AS (SELECT t, count(*) AS n FROM uni GROUP BY t),
+tot AS (SELECT count(*) AS n FROM uni),
+big AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM words, unnest(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2),
+bcnt AS (SELECT w1, w2, count(*) AS nxy FROM big GROUP BY w1, w2)
+SELECT w1, w2, nxy,
+       round((cast(nxy AS double) * tot.n) / (cast(a.n AS double) * b.n), 4)
+         AS lift
+FROM bcnt JOIN ucnt a ON a.t = w1 JOIN ucnt b ON b.t = w2 CROSS JOIN tot
+ORDER BY lift DESC, w1, w2
+LIMIT 50
+"""
+
 # dedup cluster assignment oracle: transitive closure of the
 # brute-force jaccard pairs (the same ground truth that certifies the
 # MinHash-LSH pairs) via a recursive CTE; cluster = min doc_id
@@ -579,6 +622,7 @@ REGISTRY: dict[str, tuple] = {
     "text_token_count": (_sql(TOKENS_SQL_SPARK), TOKENS_SQL_DUCK),
     "text_fingerprint": (_sql(FINGERPRINT_SQL_SPARK), FINGERPRINT_SQL_DUCK),
     "text_tfidf_topk": (_sql(TFIDF_SPARK), TFIDF_DUCK),
+    "text_bigram_lift": (_sql(BIGRAM_LIFT_SPARK), BIGRAM_LIFT_DUCK),
     "dedup_embedding_cosine": (_sql(EMB_COSINE_SPARK), EMB_COSINE_DUCK),
     "ann_topk_bruteforce": (_sql(ANN_TOPK_SPARK), ANN_TOPK_DUCK),
 }
