@@ -204,18 +204,24 @@ def main() -> None:
     speedup = small["wall_s"] / big["wall_s"] if big["wall_s"] else 0.0
     efficiency = speedup / (CPUS_BIG / CPUS_SMALL)
 
-    # second scale row: identical job shape at SCALE2x pages+budget,
-    # one trial per level (the 3x local[2] run alone is ~11 min). The
-    # point is the TREND: the fixed per-round floor's share shrinks as
-    # per-round data grows, so efficiency rises toward the cluster
-    # regime — measured, not extrapolated.
+    # second scale row: identical job shape at SCALE2x pages+budget.
+    # The point is the TREND: the fixed per-round floor's share shrinks
+    # as per-round data grows, so efficiency rises toward the cluster
+    # regime — measured, not extrapolated. Same interleaved min-of-k
+    # protocol as the base scale: a single trial here once caught a
+    # hypervisor-steal spike that inflated one level 2.3x and reported
+    # efficiency 0.37 on an engine that measures 0.94 on quiet silicon.
     scaling_x = None
     if SCALE2 > 1:
         ensure_corpus(SCALE2_CORPUS, BENCH_PAGES * SCALE2)
-        s2_small = crawl_level(
-            CPUS_SMALL, SCALE2_CORPUS, CRAWL_BUDGET * SCALE2
-        )
-        s2_big = crawl_level(CPUS_BIG, SCALE2_CORPUS, CRAWL_BUDGET * SCALE2)
+        s2_trials = {CPUS_SMALL: [], CPUS_BIG: []}
+        for _ in range(TRIALS):
+            for cpus in (CPUS_SMALL, CPUS_BIG):
+                s2_trials[cpus].append(
+                    crawl_level(cpus, SCALE2_CORPUS, CRAWL_BUDGET * SCALE2)
+                )
+        s2_small = min(s2_trials[CPUS_SMALL], key=lambda r: r["wall_s"])
+        s2_big = min(s2_trials[CPUS_BIG], key=lambda r: r["wall_s"])
         s2_speedup = (
             s2_small["wall_s"] / s2_big["wall_s"] if s2_big["wall_s"] else 0.0
         )
@@ -229,7 +235,9 @@ def main() -> None:
             "urls_per_sec_big": s2_big["urls_per_sec"],
             "speedup": round(s2_speedup, 3),
             "efficiency": round(s2_speedup / (CPUS_BIG / CPUS_SMALL), 3),
-            "trials": 1,
+            "trials": TRIALS,
+            "walls_small_s": [r["wall_s"] for r in s2_trials[CPUS_SMALL]],
+            "walls_big_s": [r["wall_s"] for r in s2_trials[CPUS_BIG]],
         }
 
     from wormpy_spark.plans.registry import ORACLE_BASELINE_TIER
