@@ -215,3 +215,37 @@ def test_wav_and_y4m_real_container_codecs(spark):
         want = {ix: phash64(f) for ix, f in enumerate(frames) if ix % 2 == 0}
         got_v = {r["frame_ix"]: r["frame_phash"] for r in by_vid[v["video_id"]]}
         assert got_v == want
+
+
+def test_mp3_frame_metadata_real_headers(spark):
+    """mp3 fixture bytes are structurally real MPEG-1 Layer III
+    streams: header-walk metadata extraction works (frame count,
+    bitrate, duration estimate) while decode remains a typed stub."""
+    from wormpy_spark.fixtures.avgen import generate_audio
+    from wormpy_spark.fixtures.spark_tables import audio_to_spark
+    from wormpy_spark.functions.mp3meta import (
+        SAMPLES_PER_FRAME,
+        build_mp3_frames,
+        parse_mp3_frames,
+    )
+    from wormpy_spark.operators.av import audio_features
+
+    audio = generate_audio(n_clips=18, seed=9911)
+    mp3 = audio[audio["fmt"] == "mp3"]
+    assert len(mp3) > 0
+    for _, r in mp3.iterrows():
+        meta = parse_mp3_frames(bytes(r["bytes"]))
+        assert meta is not None and meta["n_frames"] >= 4
+        assert meta["sample_rate"] == 44100
+        assert meta["est_duration_s"] == round(
+            meta["n_frames"] * SAMPLES_PER_FRAME / 44100, 4
+        )
+    # decode remains a typed failure row, never a task error
+    got = {r["audio_id"]: r for r in audio_features(audio_to_spark(spark, audio)).collect()}
+    for _, r in mp3.iterrows():
+        assert got[r["audio_id"]]["decode_ok"] is False
+    # garbage bytes → None (no false syncs on random data is not
+    # guaranteed, but a short non-sync prefix must bail cleanly)
+    assert parse_mp3_frames(b"\x00\x01\x02\x03" * 8) is None
+    # deterministic builder
+    assert build_mp3_frames(5, seed=3) == build_mp3_frames(5, seed=3)

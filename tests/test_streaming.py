@@ -238,3 +238,53 @@ def test_stream_sessionize_watermarked_late_data_policy(spark, tmp_path):
     # B = {13:00}, C = {16:00}; the 20:00 session is still inside the
     # trailing watermark horizon and therefore unemitted
     assert got == [(10, 0, 2), (13, 0, 1), (16, 0, 1)]
+
+
+def test_stream_dedup_exact_drops_cross_batch_duplicates(spark, tmp_path):
+    """Rows with a key already emitted in an earlier micro-batch (and
+    within the watermark horizon) are dropped; the surviving key set
+    equals the batch distinct. Duplicate rows are byte-identical so the
+    survivor is unambiguous."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from wormpy_spark.streaming.stream import stream_dedup_exact
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = 1_700_000_000_000_000  # us epoch
+
+    def write_batch(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "fingerprint": pa.array([r[0] for r in rows], pa.string()),
+                    "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [base + r[2] * 1_000_000 for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                }
+            ),
+            str(src / name),
+        )
+
+    # batch 1: keys a,b,c (b duplicated in-batch)
+    write_batch("b1.parquet", [("a", 1, 0), ("b", 2, 1), ("b", 2, 1), ("c", 3, 2)])
+    out = tmp_path / "out"
+    q = stream_dedup_exact(
+        spark, str(src), "fingerprint string, doc_id long, ts timestamp",
+        str(tmp_path / "ck"), str(out),
+    )
+    q.awaitTermination(120)
+    # batch 2: b,c again (cross-batch dups) + new d, all within watermark
+    write_batch("b2.parquet", [("b", 2, 3), ("c", 3, 4), ("d", 4, 5)])
+    q2 = stream_dedup_exact(
+        spark, str(src), "fingerprint string, doc_id long, ts timestamp",
+        str(tmp_path / "ck"), str(out),
+    )
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(str(out))
+    keys = sorted(r["fingerprint"] for r in got.collect())
+    assert keys == ["a", "b", "c", "d"], keys  # each exactly once

@@ -53,7 +53,13 @@ def generate_audio(n_clips: int = 24, seed: int = 777) -> pd.DataFrame:
 
             body = encode_wav(samples, sr)
         else:
-            body = rng.bytes(256)
+            # structurally REAL mp3: valid MPEG-1 Layer III frame
+            # headers with undecodable payload — header-metadata
+            # extraction works (functions/mp3meta.py), decode stays the
+            # typed stub
+            from ..functions.mp3meta import build_mp3_frames
+
+            body = build_mp3_frames(n_frames=4 + (k % 3), seed=k)
         rows.append(
             {
                 "audio_id": f"aud_{k:06d}",

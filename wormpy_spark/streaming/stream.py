@@ -231,3 +231,42 @@ def stream_sessionize_watermarked(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    key_cols: tuple = ("fingerprint",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+):
+    """Streaming exact deduplication — the ingest-side companion of the
+    batch ``dedup_exact`` query: rows whose key (e.g. content
+    fingerprint) was already emitted are dropped across micro-batches.
+
+    Uses ``dropDuplicatesWithinWatermark``: state holds only keys newer
+    than the event-time watermark, so memory is bounded by the dedup
+    horizon instead of growing with the whole stream — the honest
+    100-TB posture (an unbounded ``dropDuplicates`` state would OOM; a
+    full-history exact dedup belongs in the batch layer where the seen
+    set lives in snapshots, crawl J1 semantics). Duplicates farther
+    apart than the watermark are the batch layer's job.
+
+    Returns the started StreamingQuery (availableNow drains a bounded
+    backlog and stops).
+    """
+    src = spark.readStream.schema(schema).parquet(source_dir)
+    deduped = src.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
