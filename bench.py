@@ -59,6 +59,8 @@ HEADLINE = [
     "text_fingerprint",
     "text_tfidf_topk",
     "text_bigram_lift",
+    "dataset_split_assign",
+    "dataset_pack_sequences",
     "dedup_embedding_blocked",
     "dedup_embedding_lsh",
     "ann_topk_bruteforce",

@@ -312,6 +312,72 @@ scored AS (
 SELECT doc_id, term, tfidf, rk FROM scored WHERE rk <= 3
 """
 
+# deterministic dataset split (train/val/test 90/5/5): the reproducible
+# hash-split every training pipeline needs — adding documents never
+# reshuffles existing assignments (pure function of doc_id + salt).
+# Uses the repo's portable char-polynomial hash (same pattern as the
+# fingerprint/simhash queries) so both engines agree bit-for-bit;
+# engine-native hash() would not be portable.
+SPLIT_ASSIGN_SPARK = """
+WITH h AS (
+  SELECT doc_id,
+         aggregate(split(concat(cast(doc_id AS string), ':v1'), ''), 0L,
+                   (a, c) -> (a * 31 + ascii(c)) % 1000000007) % 100 AS b
+  FROM documents)
+SELECT doc_id, b AS bucket,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+SPLIT_ASSIGN_DUCK = """
+WITH h AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform(string_split(doc_id::VARCHAR || ':v1', ''),
+                            c -> ascii(c)::BIGINT)),
+             (a, c) -> (a * 31 + c) % 1000000007) % 100 AS b
+  FROM documents)
+SELECT doc_id, b AS bucket,
+       CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+# sequence packing: assign docs to fixed-token-budget packs (context-
+# window batch packing for LLM training). Contiguous packing in doc_id
+# order WITHIN bounded shards (1000 docs) — the shard key keeps every
+# window partition small and parallel (a single global ORDER BY window
+# would serialize at 100 TB); a doc belongs to the pack its cumulative
+# offset starts in. (shard, pack_in_shard) is the stable global pack id.
+PACK_SQL = """
+WITH t AS (
+  SELECT doc_id, CAST(doc_id / 1000 AS BIGINT) AS shard,
+         size(split(trim(lower(text)), '\\\\s+')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+  FROM t)
+SELECT doc_id, shard, n_tokens,
+       CAST(off / 4096 AS BIGINT) AS pack_in_shard
+FROM c
+"""
+PACK_DUCK = """
+WITH t AS (
+  SELECT doc_id, doc_id // 1000 AS shard,
+         len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+  FROM t)
+SELECT doc_id, shard, n_tokens,
+       off // 4096 AS pack_in_shard
+FROM c
+"""
+
 # bigram collocations: top adjacent word pairs by lift
 # nxy·N / (nx·ny) — the PMI argument without the log, so the score is
 # a quotient of exactly-representable integers (< 2^53) and IEEE
@@ -623,6 +689,8 @@ REGISTRY: dict[str, tuple] = {
     "text_fingerprint": (_sql(FINGERPRINT_SQL_SPARK), FINGERPRINT_SQL_DUCK),
     "text_tfidf_topk": (_sql(TFIDF_SPARK), TFIDF_DUCK),
     "text_bigram_lift": (_sql(BIGRAM_LIFT_SPARK), BIGRAM_LIFT_DUCK),
+    "dataset_split_assign": (_sql(SPLIT_ASSIGN_SPARK), SPLIT_ASSIGN_DUCK),
+    "dataset_pack_sequences": (_sql(PACK_SQL), PACK_DUCK),
     "dedup_embedding_cosine": (_sql(EMB_COSINE_SPARK), EMB_COSINE_DUCK),
     "ann_topk_bruteforce": (_sql(ANN_TOPK_SPARK), ANN_TOPK_DUCK),
 }
