@@ -61,6 +61,7 @@ HEADLINE = [
     "text_bigram_lift",
     "dataset_split_assign",
     "dataset_pack_sequences",
+    "curate_corpus",
     "dedup_embedding_blocked",
     "dedup_embedding_lsh",
     "ann_topk_bruteforce",

@@ -593,6 +593,27 @@ FROM documents
 """
 
 
+# Corpus curation pipeline — the end-to-end keep/drop decision a
+# training-data pipeline runs: language filter AND quality floor AND
+# not a near-duplicate (transitive cluster membership). The oracle
+# composes the already-certified component SQLs as CTEs, so the check
+# certifies the COMPOSITION (join alignment, flag logic) on top of the
+# per-component proofs. Spark side composes the same components as
+# DataFrames (the cluster half is the distributed operator).
+CURATE_DUCK_TEMPLATE = """
+WITH lang AS ({lang}),
+q AS ({quality}),
+cl AS ({cluster})
+SELECT d.doc_id, lang.lang_pred, q.quality_score, cl.cluster_id,
+       (lang.lang_pred = 'en' AND q.quality_score >= 0.55
+        AND NOT cl.is_dup) AS keep
+FROM documents d
+JOIN lang ON lang.doc_id = d.doc_id
+JOIN q    ON q.doc_id = d.doc_id
+JOIN cl   ON cl.doc_id = d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity (embeddings table)
 # ---------------------------------------------------------------------------
