@@ -66,6 +66,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
+    "ann_batch_topk",
 ]
 
 CORPUS_DIR = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "/tmp/wormpy_bench_corpus_v2")

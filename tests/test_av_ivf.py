@@ -249,3 +249,39 @@ def test_mp3_frame_metadata_real_headers(spark):
     assert parse_mp3_frames(b"\x00\x01\x02\x03" * 8) is None
     # deterministic builder
     assert build_mp3_frames(5, seed=3) == build_mp3_frames(5, seed=3)
+
+
+def test_ann_batch_topk_prune_correctness(spark):
+    """The per-batch top-k prune must be lossless: results equal a
+    no-prune run even when Arrow batches are tiny (k spans batches),
+    and self-matches are excluded."""
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        from wormpy_spark.operators.similarity import ann_batch_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        qrows = emb.filter(F.col("vec_id") < 3).collect()
+        queries = [
+            (r["vec_id"], [float(x) for x in r["embedding"]]) for r in qrows
+        ]
+        got = ann_batch_topk(emb, queries, k=8).collect()
+        # no-prune reference: k = corpus size (every batch emits all)
+        n = emb.count()
+        ref = ann_batch_topk(emb, queries, k=n).collect()
+        ref_by_q = {}
+        for r in ref:
+            if r["rk"] <= 8:
+                ref_by_q.setdefault(r["query_id"], []).append(
+                    (r["rk"], r["vec_id"], r["score"])
+                )
+        got_by_q = {}
+        for r in got:
+            got_by_q.setdefault(r["query_id"], []).append(
+                (r["rk"], r["vec_id"], r["score"])
+            )
+        assert {q: sorted(v) for q, v in got_by_q.items()} == {
+            q: sorted(v) for q, v in ref_by_q.items()
+        }
+        assert all(r["vec_id"] != r["query_id"] for r in got)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")

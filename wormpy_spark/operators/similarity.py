@@ -442,3 +442,76 @@ def ann_ivf_topk(
     )
     scored = cand.select(id_col, F.round(dot / (nrm * F.lit(qn)), 4).alias("score"))
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def ann_batch_topk(
+    emb: DataFrame,
+    queries: list[tuple],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Batch ANN: top-k cosine neighbors for MANY query vectors in one
+    corpus pass — the shape a production pipeline actually queries in
+    (a query batch is driver-sized by definition; it broadcasts to the
+    Arrow workers as one numpy matrix).
+
+    One scan: per Arrow batch, a single GEMM scores all queries against
+    all batch vectors ((n×d)·(d×m), BLAS speed); each batch emits only
+    its per-query top-k rows (correct prune: any global top-k row is in
+    its own batch's top-k), so the shuffle into the final per-query
+    window carries O(batches·m·k) rows, never O(n·m).
+
+    ``queries``: [(query_id, vector), ...].
+    Output: (query_id, vec_id, score, rk) with rk ≤ k, ranked by
+    (score DESC, vec_id) — the brute-force SQL oracle's ordering rule.
+    """
+    from collections.abc import Iterator
+
+    from pyspark.sql import Window
+
+    qids = [int(q[0]) for q in queries]
+    Q = np.stack([np.asarray(q[1], dtype=np.float64) for q in queries])
+    Qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64))
+            )
+            ids = pdf[id_col].to_numpy()
+            Vn = np.sqrt((V * V).sum(axis=1))
+            S = (V @ Q.T) / (Vn[:, None] * Qn[None, :])  # (n, m)
+            rows = {"query_id": [], id_col: [], "score": []}
+            for j, qid in enumerate(qids):
+                col = S[:, j]
+                mask = ids != qid if exclude_self else np.ones(len(ids), bool)
+                cand = np.flatnonzero(mask)
+                if not len(cand):
+                    continue
+                # same tie-break as the final window (score DESC, id ASC)
+                # — an equal-score row must never be pruned in favor of
+                # a larger id at the batch boundary
+                order = np.lexsort((ids[cand], -col[cand]))
+                take = cand[order[:k]]
+                rows["query_id"] += [qid] * len(take)
+                rows[id_col] += ids[take].tolist()
+                rows["score"] += col[take].tolist()
+            yield pd.DataFrame(rows)
+
+    part_top = emb.select(id_col, vec_col).mapInPandas(
+        fn, f"query_id long, {id_col} long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        part_top.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", id_col, F.round("score", 4).alias("score"), "rk"
+        )
+    )

@@ -684,6 +684,30 @@ LIMIT 10
 """
 
 
+# batch ANN oracle: brute-force cross join for the fixed query batch
+# (vec_id < 5) — certifies the GEMM scan + per-batch top-k prune +
+# window ranking of operators.similarity.ann_batch_topk
+ANN_BATCH_DUCK = """
+WITH e AS (
+  SELECT vec_id, cast(embedding as double[]) AS v,
+         sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+              list_transform(cast(embedding as double[]), x -> x * x)),
+              (a, x) -> a + x)) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.v, q.qv) / (e.nrm * q.qn), 4) AS score,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_dot_product(e.v, q.qv) / (e.nrm * q.qn) DESC,
+                    e.vec_id) AS rk
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id)
+SELECT query_id, vec_id, score, rk FROM s WHERE rk <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry: name → (spark_fn, duckdb_oracle_sql or None)
 # ---------------------------------------------------------------------------
