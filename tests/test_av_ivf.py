@@ -285,3 +285,40 @@ def test_ann_batch_topk_prune_correctness(spark):
         assert all(r["vec_id"] != r["query_id"] for r in got)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+
+
+def test_ivf_index_persist_load_and_partition_pruning(spark, tmp_path):
+    """A persisted IVF index reuses across queries (same results as a
+    fresh build), and a probe's bucket filter prunes to the matching
+    bucket= partition DIRECTORIES on disk — the Iceberg-bucket layout
+    made literal."""
+    from wormpy_spark.operators.similarity import (
+        ann_ivf_topk,
+        build_ivf_index,
+        load_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    fresh = ann_ivf_topk(emb, q, k=5, nprobe=None, exclude_id=0).collect()
+    idx_path = str(tmp_path / "ivf")
+    built = build_ivf_index(emb, path=idx_path)
+    loaded = load_ivf_index(spark, idx_path)
+    for index in (built, loaded):
+        got = ann_ivf_topk(
+            emb, q, k=5, nprobe=None, exclude_id=0, index=index
+        ).collect()
+        assert [(r["vec_id"], r["score"]) for r in got] == [
+            (r["vec_id"], r["score"]) for r in fresh
+        ]
+
+    # partition pruning: the bucket filter must land in the scan's
+    # PartitionFilters (directory-level pruning), not a post-scan Filter
+    one = loaded.assigned.filter(F.col("bucket") == 3)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "(bucket" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # and the pruned scan actually enumerates fewer rows
+    assert one.count() < loaded.assigned.count()

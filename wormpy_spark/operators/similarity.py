@@ -383,32 +383,38 @@ def _train_centroids(sample: np.ndarray, k: int, seed: int = 0x1FF) -> np.ndarra
     return cent
 
 
-def ann_ivf_topk(
+class IvfIndex:
+    """A built IVF index: trained centroids + the bucket-assigned
+    vector table. When persisted (``build_ivf_index(path=...)``) the
+    assignments are written ``partitionBy("bucket")``, so a probe's
+    bucket filter becomes real PARTITION PRUNING — the query reads only
+    the nprobe ``bucket=<c>/`` directories off storage, which is the
+    Iceberg-bucketed layout this operator models (proven by an
+    inputFiles() check in tests)."""
+
+    def __init__(self, centroids: np.ndarray, assigned: DataFrame,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.centroids = centroids
+        self.assigned = assigned
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+
+def build_ivf_index(
     emb: DataFrame,
-    query_vec: list[float],
-    k: int = 10,
     n_centroids: int = IVF_CENTROIDS,
-    nprobe: int | None = None,
     train_sample: int = 10_000,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    exclude_id: int | None = None,
-) -> DataFrame:
-    """IVF ANN: assign every vector to its nearest centroid (one Arrow
-    pass; at cluster scale the centroid id is the table's partition /
-    Iceberg-bucket key, so a probe READS only nprobe buckets instead of
-    scanning everything), probe the nprobe centroids nearest to the
-    query, exact-cosine re-rank inside those buckets.
-
-    nprobe = n_centroids scans every bucket ⇒ result identical to
-    brute force (the driver-oracle configuration); shrinking nprobe is
-    the recall/scan-fraction knob (exercised in tests)."""
-    if nprobe is None:
-        nprobe = n_centroids
-    # deterministic training sample (id order); at scale this is a
-    # seeded pushed-down sample of the table, like FAISS training on
-    # a 1-10% slice before assigning the rest distributively
-    sample_rows = emb.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    path: str | None = None,
+) -> IvfIndex:
+    """Train the coarse quantizer (driver-side deterministic k-means on
+    a sample — the FAISS pattern), assign every vector distributively,
+    and either persist in memory or write the bucket-partitioned table
+    to ``path`` (+ centroids JSON) for reuse across queries/sessions."""
+    sample_rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    )
     sample = np.asarray([list(r[vec_col]) for r in sample_rows], dtype=np.float64)
     cent = _train_centroids(sample, n_centroids)
 
@@ -423,6 +429,66 @@ def ann_ivf_topk(
     assigned = emb.select(id_col, vec_col).mapInPandas(
         assign, f"{id_col} long, {vec_col} array<float>, bucket int"
     )
+    if path is not None:
+        import json
+        import os
+
+        assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        with open(os.path.join(path, "_centroids.json"), "w") as f:
+            json.dump(cent.tolist(), f)
+        return load_ivf_index(emb.sparkSession, path, vec_col, id_col)
+    return IvfIndex(cent, assigned.persist(), vec_col, id_col)
+
+
+def load_ivf_index(
+    spark,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> IvfIndex:
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cent = np.asarray(json.load(f), dtype=np.float64)
+    assigned = spark.read.parquet(path)
+    return IvfIndex(cent, assigned, vec_col, id_col)
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = IVF_CENTROIDS,
+    nprobe: int | None = None,
+    train_sample: int = 10_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_id: int | None = None,
+    index: IvfIndex | None = None,
+) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest centroid (one Arrow
+    pass; at cluster scale the centroid id is the table's partition /
+    Iceberg-bucket key, so a probe READS only nprobe buckets instead of
+    scanning everything), probe the nprobe centroids nearest to the
+    query, exact-cosine re-rank inside those buckets.
+
+    Pass ``index`` (from ``build_ivf_index``/``load_ivf_index``) to
+    reuse a built index across queries — training and assignment are
+    then skipped entirely, and with a persisted index the probe prunes
+    to the matching bucket partitions on disk.
+
+    nprobe = n_centroids scans every bucket ⇒ result identical to
+    brute force (the driver-oracle configuration); shrinking nprobe is
+    the recall/scan-fraction knob (exercised in tests)."""
+    if index is None:
+        index = build_ivf_index(
+            emb, n_centroids, train_sample, vec_col, id_col
+        )
+    cent, assigned = index.centroids, index.assigned
+    n_centroids = len(cent)
+    if nprobe is None:
+        nprobe = n_centroids
     q = np.asarray(query_vec, np.float64)
     qd = ((cent - q[None, :]) ** 2).sum(axis=1)
     probe_buckets = [int(b) for b in np.argsort(qd)[:nprobe]]
