@@ -55,6 +55,7 @@ HEADLINE = [
     "events_sessionize",
     "dedup_minhash_lsh",
     "dedup_cluster_assign",
+    "dedup_minhash_incremental",
     "dedup_simhash",
     "text_fingerprint",
     "text_tfidf_topk",

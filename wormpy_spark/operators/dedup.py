@@ -108,13 +108,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band the signatures and self-join on (band_ix, band_key).
-
-    The band key is md5 over the band's concatenated values (JVM-side,
-    no Python). Bucket self-join emits each pair once (id_a < id_b).
-    """
-    bands = signatures.select(
+def _band_rows(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_ix, band_key) rows; the band key is md5 over the
+    band's concatenated values (JVM-side, no Python)."""
+    return signatures.select(
         id_col,
         F.explode(
             F.transform(
@@ -134,6 +131,12 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
             )
         ).alias("band"),
     ).select(id_col, "band.band_ix", "band.band_key")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signatures and self-join on (band_ix, band_key).
+    Bucket self-join emits each pair once (id_a < id_b)."""
+    bands = _band_rows(signatures, id_col)
     left = bands.alias("a")
     right = bands.alias("b")
     return (
@@ -170,7 +173,22 @@ def minhash_lsh_jaccard_pairs(
     # sides — without the cache the mapInPandas pass runs twice
     sigs = minhash_signatures(docs, text_col, id_col).persist()
     cand = lsh_candidate_pairs(sigs, id_col)
+    return verify_jaccard_pairs(
+        docs, cand, threshold_num, threshold_den, text_col, id_col
+    )
 
+
+def verify_jaccard_pairs(
+    docs: DataFrame,
+    cand: DataFrame,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact jaccard verification of candidate (doc_a, doc_b) pairs —
+    only candidate docs' text is shingled (semi-join prune), so the
+    verify cost scales with the candidate set, not the corpus."""
     # exact verification: explode candidate docs' shingles, count overlap.
     # Docs with <3 words have no shingles: guard BEFORE the transform —
     # sequence(1, size-2) steps DOWN to [1, 0] when size<=2 and
@@ -226,3 +244,64 @@ def minhash_lsh_jaccard_pairs(
         .select("doc_a", "doc_b", "inter", "union_n")
     )
     return out
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the corpus's MinHash signatures — the expensive,
+    append-only half of dedup. Signatures are process-independent
+    (seeded constants), so an index built yesterday composes with
+    signatures computed today."""
+    minhash_signatures(docs, text_col, id_col).write.mode("overwrite").parquet(path)
+
+
+def minhash_lsh_pairs_incremental(
+    spark: SparkSession,
+    docs: DataFrame,
+    new_pred,
+    index_path: str,
+    threshold_num: int = 8,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingest dedup — the daily-batch shape at 100 TB: NEW
+    documents (rows matching ``new_pred``) are signature-hashed and
+    matched against the persisted signature index of the historical
+    corpus WITHOUT recomputing historical signatures. Candidates =
+    bands(new) ⋈ bands(index ∪ new); exact jaccard verification then
+    reads text only for candidate docs (old or new — a predicate-pruned
+    sliver of the corpus). Output = exactly the batch pipeline's pairs
+    restricted to pairs touching ≥1 new doc (the SQL-oracle contract).
+    """
+    old_sigs = spark.read.parquet(index_path)
+    new_sigs = minhash_signatures(
+        docs.filter(new_pred), text_col, id_col
+    ).persist()
+    all_sigs = old_sigs.unionByName(new_sigs).persist()
+
+    bands_new = _band_rows(new_sigs, id_col)
+    bands_all = _band_rows(all_sigs, id_col)
+    cand = (
+        bands_new.alias("a")
+        .join(
+            bands_all.alias("b"),
+            on=[
+                F.col("a.band_ix") == F.col("b.band_ix"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    return verify_jaccard_pairs(
+        docs, cand, threshold_num, threshold_den, text_col, id_col
+    )
