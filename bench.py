@@ -53,6 +53,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "events_sessionize",
+    "events_value_quantiles",
     "dedup_minhash_lsh",
     "dedup_cluster_assign",
     "dedup_minhash_incremental",

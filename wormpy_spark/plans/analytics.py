@@ -312,6 +312,29 @@ scored AS (
 SELECT doc_id, term, tfidf, rk FROM scored WHERE rk <= 3
 """
 
+# exact per-group quantiles (p50/p95/p99 of event value): Spark
+# percentile() and DuckDB quantile_cont() are both the exact
+# interpolated quantile — same (n-1)·q arithmetic — so rounded outputs
+# agree. (approx_percentile/t-digest would NOT cross-check; the exact
+# sort-based form is the oracle-able one, and at scale the per-group
+# sort is a partial_sort inside each hash partition.)
+QUANTILES_SPARK = """
+SELECT event_type,
+       round(percentile(value, 0.5),  4) AS p50,
+       round(percentile(value, 0.95), 4) AS p95,
+       round(percentile(value, 0.99), 4) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+QUANTILES_DUCK = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5),  4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
 # deterministic dataset split (train/val/test 90/5/5): the reproducible
 # hash-split every training pipeline needs — adding documents never
 # reshuffles existing assignments (pure function of doc_id + salt).
@@ -734,6 +757,7 @@ REGISTRY: dict[str, tuple] = {
     "text_fingerprint": (_sql(FINGERPRINT_SQL_SPARK), FINGERPRINT_SQL_DUCK),
     "text_tfidf_topk": (_sql(TFIDF_SPARK), TFIDF_DUCK),
     "text_bigram_lift": (_sql(BIGRAM_LIFT_SPARK), BIGRAM_LIFT_DUCK),
+    "events_value_quantiles": (_sql(QUANTILES_SPARK), QUANTILES_DUCK),
     "dataset_split_assign": (_sql(SPLIT_ASSIGN_SPARK), SPLIT_ASSIGN_DUCK),
     "dataset_pack_sequences": (_sql(PACK_SQL), PACK_DUCK),
     "dedup_embedding_cosine": (_sql(EMB_COSINE_SPARK), EMB_COSINE_DUCK),
