@@ -54,6 +54,7 @@ HEADLINE = [
     "q5_region_revenue",
     "events_sessionize",
     "events_value_quantiles",
+    "events_distinct_users_salted",
     "dedup_minhash_lsh",
     "dedup_cluster_assign",
     "dedup_minhash_incremental",

@@ -312,6 +312,25 @@ scored AS (
 SELECT doc_id, term, tfidf, rk FROM scored WHERE rk <= 3
 """
 
+# skew-robust distinct count: COUNT(DISTINCT) on a hot group key makes
+# ONE reducer deduplicate that key's whole value set. The scale form
+# shards each group by a hash of the VALUE (disjoint value partitions ⇒
+# partial distinct counts add exactly), turning the hot group into 16
+# parallel reducers — the salting pattern made explicit. The salt is
+# internal, so a plain COUNT(DISTINCT) is the oracle.
+SALTED_DISTINCT_SPARK = """
+WITH sharded AS (
+  SELECT event_type, pmod(xxhash64(user_id), 16) AS shard,
+         count(DISTINCT user_id) AS part
+  FROM events GROUP BY event_type, pmod(xxhash64(user_id), 16))
+SELECT event_type, sum(part) AS n_users
+FROM sharded GROUP BY event_type
+"""
+SALTED_DISTINCT_DUCK = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
 # exact per-group quantiles (p50/p95/p99 of event value): Spark
 # percentile() and DuckDB quantile_cont() are both the exact
 # interpolated quantile — same (n-1)·q arithmetic — so rounded outputs
@@ -758,6 +777,10 @@ REGISTRY: dict[str, tuple] = {
     "text_tfidf_topk": (_sql(TFIDF_SPARK), TFIDF_DUCK),
     "text_bigram_lift": (_sql(BIGRAM_LIFT_SPARK), BIGRAM_LIFT_DUCK),
     "events_value_quantiles": (_sql(QUANTILES_SPARK), QUANTILES_DUCK),
+    "events_distinct_users_salted": (
+        _sql(SALTED_DISTINCT_SPARK),
+        SALTED_DISTINCT_DUCK,
+    ),
     "dataset_split_assign": (_sql(SPLIT_ASSIGN_SPARK), SPLIT_ASSIGN_DUCK),
     "dataset_pack_sequences": (_sql(PACK_SQL), PACK_DUCK),
     "dedup_embedding_cosine": (_sql(EMB_COSINE_SPARK), EMB_COSINE_DUCK),
