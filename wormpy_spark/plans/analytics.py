@@ -89,7 +89,7 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 JOIN supplier s ON l.l_suppkey  = s.s_suppkey AND c.c_nationkey = s.s_nationkey
 JOIN nation n   ON c.c_nationkey = n.n_nationkey
 JOIN region r   ON n.n_regionkey = r.r_regionkey
-WHERE r.r_name = 'REGION0'
+WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """
 
@@ -394,7 +394,7 @@ FROM h
 PACK_SQL = """
 WITH t AS (
   SELECT doc_id, CAST(doc_id / 1000 AS BIGINT) AS shard,
-         size(split(trim(lower(text)), '\\\\s+')) AS n_tokens
+         CAST(size(split(trim(lower(text)), '\\\\s+')) AS BIGINT) AS n_tokens
   FROM documents),
 c AS (
   SELECT doc_id, shard, n_tokens,
@@ -416,7 +416,10 @@ c AS (
                              ROWS UNBOUNDED PRECEDING) - n_tokens AS off
   FROM t)
 SELECT doc_id, shard, n_tokens,
-       off // 4096 AS pack_in_shard
+       -- DuckDB: sum() OVER an integer col is HUGEINT and HUGEINT // INT
+       -- comes back DOUBLE (reproduced: pandas dtype float64), which
+       -- breaks the driver's type-sensitive row hash vs Spark's BIGINT.
+       CAST(off // 4096 AS BIGINT) AS pack_in_shard
 FROM c
 """
 
