@@ -166,3 +166,27 @@ def test_connected_components_chain_and_clusters(spark):
     empty = pairs.limit(0)
     assert connected_components(empty).count() == 0
     assert connected_components(empty, driver_max_edges=0).count() == 0
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A component whose diameter exceeds max_iter must RAISE on the
+    distributed path, never silently return mid-propagation labels
+    (wrong cluster ids corrupt dedup keep/drop decisions downstream).
+    With enough rounds the same chain converges exactly."""
+    import pytest as _pytest
+
+    from wormpy_spark.operators.components import connected_components
+
+    # a 31-node path: diameter 30
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 130)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=5, driver_max_edges=0)
+    ok = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            chain, max_iter=32, driver_max_edges=0
+        ).collect()
+    }
+    assert ok == {i: 100 for i in range(100, 131)}

@@ -117,16 +117,24 @@ def connected_components(
     # also materializes the new labels), no separate anti-join probe.
     # decimal(38,0) keeps the sum exact at any scale (1e10 ids → 1e20).
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         msgs = edges2.join(
             labels, edges2["src"] == labels["id"], "inner"
         ).select(F.col("dst").alias("id"), "label")
+        # localCheckpoint, not persist: persist caches data but keeps
+        # the full lineage, so round k's logical plan nests all k-1
+        # predecessors — by ~30 rounds just RENDERING the AQE plan
+        # string OOMs the JVM (reproduced). Checkpointing truncates the
+        # lineage each round, keeping the plan O(1) deep. (A
+        # fault-tolerant cluster run would use reliable checkpoint();
+        # local is right for this sandbox and any healthy cluster.)
         new_labels = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .repartition(n_part, "id")
-            .persist()
+            .localCheckpoint(eager=False)
         )
         row = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
@@ -134,8 +142,23 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if prev_sum is not None and row["s"] == prev_sum:
+            converged = True
             break
         prev_sum = row["s"]
 
     edges2.unpersist()
+    if not converged:
+        # Min-label propagation moves a label one hop per round, so a
+        # component with diameter > max_iter would exit here with WRONG
+        # labels. Wrong cluster ids silently corrupt dedup keep/drop
+        # decisions downstream — refuse instead. (Chained near-dups
+        # deep enough to hit this want the O(log n)-round
+        # large-star/small-star variant cited in the module docstring,
+        # or simply a larger max_iter.)
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds: "
+            f"a component has diameter > {max_iter}. Raise max_iter (rounds "
+            "needed = graph diameter + 1) or use a log-round variant."
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
