@@ -8,7 +8,7 @@ from __future__ import annotations
 import zlib
 
 from wormpy_spark.fixtures.webgen import generate_corpus
-from wormpy_spark.functions.extract import pdf_stub_text, pdf_text
+from wormpy_spark.functions.extract import pdf_info, pdf_stub_text, pdf_text
 from wormpy_spark.operators.fetch import process_row
 
 
@@ -82,3 +82,33 @@ def test_fixture_report2_extracts_through_engine_path():
     assert out["error"] is None
     assert out["text"].startswith("compressed report of host0.test:")
     assert "stream" not in out["text"]
+    # F3 PDF half: trailer /Info doc-info merged into metadata with
+    # PyPDF2-style '/Title' keys (reference content_processor.py:177-184)
+    assert out["metadata"]["/Title"] == "Compressed Report host0.test"
+    assert out["metadata"]["/Author"] == "wormpy fixtures"
+    assert out["metadata"]["url"] == row["url_norm"]
+
+
+def test_pdf_info_parsing():
+    # report1 (marker-style) carries a parseable trailer Info too
+    corpus = generate_corpus(seed=5, n_hosts=1, pages_per_host=5)
+    web = corpus["web"]
+    row = web[web["url_norm"] == "https://host0.test/doc/report1.pdf"].iloc[0]
+    info = pdf_info(bytes(row["body"]))
+    assert info == {
+        "/Title": "Annual Report host0.test",
+        "/Author": "wormpy fixtures",
+        "/Producer": "webgen",
+    }
+    # escapes inside literals, /Name values, UTF-16BE text strings
+    body = (
+        b"%PDF-1.4\n3 0 obj\n<< /Title (a \\(b\\) c) /Trapped /False"
+        b" /Subject (\xfe\xff\x00h\x00i) >>\nendobj\n"
+        b"trailer << /Info 3 0 R >>\n%%EOF"
+    )
+    assert pdf_info(body) == {
+        "/Title": "a (b) c", "/Trapped": "False", "/Subject": "hi"
+    }
+    # absent or dangling Info → {} (reference catches + skips)
+    assert pdf_info(b"%PDF-1.4\n%%EOF") == {}
+    assert pdf_info(b"%PDF-1.4\ntrailer << /Info 4 0 R >>\n%%EOF") == {}

@@ -305,10 +305,18 @@ def generate_corpus(
         # and a REAL linear PDF with a Flate-compressed content stream
         # (pdf_text's zlib path, reference F4 parity)
         pdf_text = f"annual report of {host} " + _filler(rng, 30)
+        # both pdfs carry a trailer /Info doc-information dict so F3's
+        # PDF half (reference metadata.update(reader.metadata)) has
+        # real data to surface
         add_simple(
             f"{base}/doc/report1.pdf",
             "application/pdf",
-            (f"%PDF-1.4\nBT {pdf_text} ET\n%%EOF").encode(),
+            (
+                f"%PDF-1.4\nBT {pdf_text} ET\n"
+                f"9 0 obj\n<< /Title (Annual Report {host}) "
+                f"/Author (wormpy fixtures) /Producer (webgen) >>\nendobj\n"
+                f"trailer\n<< /Info 9 0 R >>\n%%EOF"
+            ).encode(),
         )
         import zlib
 
@@ -322,7 +330,9 @@ def generate_corpus(
             + str(len(comp)).encode()
             + b" /Filter /FlateDecode >>\nstream\n"
             + comp
-            + b"\nendstream\nendobj\ntrailer\n%%EOF\n",
+            + b"\nendstream\nendobj\n2 0 obj\n<< /Title (Compressed Report "
+            + host.encode()
+            + b") /Author (wormpy fixtures) >>\nendobj\ntrailer\n<< /Info 2 0 R >>\n%%EOF\n",
         )
 
         # --- sitemaps (S2/S3) ----------------------------------------------

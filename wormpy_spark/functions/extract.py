@@ -283,6 +283,50 @@ def pdf_text(body: bytes) -> str:
     return pdf_stub_text(body)
 
 
+_INFO_REF_RE = re.compile(rb"/Info\s+(\d+)\s+(\d+)\s+R")
+# one /Key value entry: value is a (literal string) or a /Name
+_INFO_ENTRY_RE = re.compile(rb"/([A-Za-z0-9.#_-]+)\s*(\((?:[^()\\]|\\.)*\)|/[A-Za-z0-9.#_-]*)")
+
+
+def pdf_info(body: bytes) -> dict[str, str]:
+    """F3 (PDF half): the trailer ``/Info`` document-information
+    dictionary, merged into PDF metadata exactly like the reference
+    merges PyPDF2's ``reader.metadata``
+    (content_processor.py:177-184): keys keep PyPDF2's ``/Title`` form,
+    values are decoded strings. Returns {} when the Info dict is absent
+    or unparseable — the reference catches PyPDF2 errors, logs, and
+    ships metadata without doc-info, so malformed PDFs degrade the same
+    way here."""
+    m = None
+    for m in _INFO_REF_RE.finditer(body):
+        pass  # last trailer wins (PDF incremental updates append)
+    if m is None:
+        return {}
+    obj_re = re.compile(
+        rb"(?<![0-9])" + m.group(1) + rb"\s+" + m.group(2)
+        + rb"\s+obj\s*<<(.*?)>>",
+        re.DOTALL,
+    )
+    om = obj_re.search(body)
+    if om is None:
+        return {}
+    out: dict[str, str] = {}
+    for key, val in _INFO_ENTRY_RE.findall(om.group(1)):
+        if val.startswith(b"("):
+            raw = _pdf_string(val)
+            if raw.startswith(b"\xfe\xff"):  # UTF-16BE text string (BOM)
+                try:
+                    value = raw[2:].decode("utf-16-be")
+                except UnicodeDecodeError:
+                    value = raw.decode("latin-1")
+            else:
+                value = raw.decode("latin-1")  # PDFDocEncoding ⊇ latin-1 here
+        else:
+            value = val[1:].decode("latin-1")  # /Name value, e.g. /Trapped
+        out["/" + key.decode("latin-1")] = value
+    return out
+
+
 def is_dynamic_content(html: str, threshold: int = 500) -> bool:
     """S7: extracted text shorter than 500 chars ⇒ dynamic
     (content_processor.py:270-287)."""

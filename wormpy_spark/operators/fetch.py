@@ -40,6 +40,7 @@ from ..functions.extract import (
     extract_meta,
     extract_text,
     is_dynamic_content,
+    pdf_info,
     pdf_text,
 )
 from ..functions.urlnorm import is_pdf_path
@@ -124,8 +125,13 @@ def process_row(row: dict, discovery: bool) -> dict:
         out["text"] = extract_text(body)
         discovered = fetched_urls if fetched_urls else extract_links(body, norm, ctype)
     elif ctype.lower() == "application/pdf" or is_pdf_path(norm):
-        out["metadata"] = {"url": norm, "content_type": ctype}
-        out["text"] = pdf_text(bytes(row["body"]))
+        body_b = bytes(row["body"])
+        # doc-info merge ↔ reference metadata.update(reader.metadata)
+        # (content_processor.py:177-184)
+        out["metadata"] = {
+            "url": norm, "content_type": ctype, **pdf_info(body_b)
+        }
+        out["text"] = pdf_text(body_b)
         discovered = set()
     else:
         out["metadata"] = {"url": norm, "content_type": ctype}
@@ -226,7 +232,24 @@ def fetch_live_row(
         "dynamic_links": None,
         "image_id": None,
     }
-    out = process_row(synthetic, discovery)
+    if (
+        status == 200
+        and (ctype or "").lower().startswith("text/html")
+        and is_dynamic_content(body.decode("utf-8", errors="replace"))
+    ):
+        # S7 trigger in live mode: the reference hands such a page to a
+        # real browser (selenium_processor.py:120-211 — scroll, "Load
+        # More", DOM link harvest). No browser exists in this
+        # environment, so instead of failing the row (offline selenium-
+        # miss semantics) or silently under-extracting, process the
+        # static half and SAY SO: feed the static body down the dynamic
+        # branch (static text + static DOM links) and flag the row.
+        synthetic["dynamic_body"] = body
+        out = process_row(synthetic, discovery)
+        if out["metadata"] is not None:
+            out["metadata"]["dynamic_suspected"] = "true"
+    else:
+        out = process_row(synthetic, discovery)
     out["attempts"] = attempts
     out["fetch_failed_first"] = first_failed
     return out

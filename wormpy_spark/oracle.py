@@ -46,6 +46,7 @@ from .functions.extract import (
     extract_meta,
     extract_text,
     is_dynamic_content,
+    pdf_info,
     pdf_text,
 )
 from .functions.urlnorm import (
@@ -230,8 +231,9 @@ def crawl_oracle(
             text = extract_text(body)
             discovered = fetched_urls if fetched_urls else extract_links(body, norm, ctype)
         elif ctype.lower() == "application/pdf" or is_pdf_path(norm):
-            metadata = {"url": norm, "content_type": ctype}
-            text = pdf_text(bytes(row["body"]))
+            body_b = bytes(row["body"])
+            metadata = {"url": norm, "content_type": ctype, **pdf_info(body_b)}
+            text = pdf_text(body_b)
             discovered = set()
         else:
             metadata = {"url": norm, "content_type": ctype}
