@@ -94,6 +94,38 @@ def test_live_persistent_failure():
     assert len(get.calls) == LIVE_MAX_ATTEMPTS
 
 
+def test_live_dynamic_shell_flagged_not_failed():
+    """S7 in live mode: a <500-char JS-shell page would go to a real
+    browser in the reference; without one, the row must carry its
+    static text + static DOM links AND a dynamic_suspected flag —
+    never a silent under-extraction, never a fetch_error."""
+    url = "https://h.test/app"
+    shell = (
+        b"<html><head><title>App</title><script src=\"/a.js\"></script>"
+        b"</head><body><div id=root>loading</div>"
+        b'<a href="/static-nav">nav</a></body></html>'
+    )
+    get = MockTransport({url: [(200, "text/html", shell)]})
+    row = fetch_live_row(_frontier_row(url), True, get, lambda s: None)
+    assert row["error"] is None
+    assert row["metadata"]["dynamic_suspected"] == "true"
+    assert row["metadata"]["title"] == "App"
+    assert row["text"] == "App\nloading\nnav"
+    assert row["discovered_urls"] == ["https://h.test/static-nav"]
+    # offline rows never carry the flag (they have the selenium model)
+    offline = process_row(
+        {
+            **_frontier_row("https://h.test/p/1"),
+            "status": 200, "content_type": "text/html", "body": HTML,
+            "fail_attempts": 0, "selenium_fail_attempts": 0,
+            "raise_in_loop": False, "dynamic_body": None,
+            "dynamic_links": None, "image_id": None,
+        },
+        True,
+    )
+    assert "dynamic_suspected" not in offline["metadata"]
+
+
 def test_live_connection_error_then_http_error():
     url = "https://h.test/half"
     get = MockTransport({url: [TransportError("dns"), (404, None, b"")]})
