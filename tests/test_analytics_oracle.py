@@ -7,6 +7,7 @@ nonzero rows."""
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -51,6 +52,22 @@ def _row_multiset(cols, rows):
 
 ORACLED = sorted(entrymod.oracle_sql().keys())
 ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLED))
+
+# dev hook: WORMPY_SPARK_ORACLE_SUBSET="q1_pricing_summary,dedup_*"
+# re-checks only the named queries (comma-separated, fnmatch patterns
+# allowed) while iterating on one operator. Default: all queries —
+# the driver's gate always runs the full set.
+_subset = os.environ.get("WORMPY_SPARK_ORACLE_SUBSET")
+if _subset:
+    import fnmatch
+
+    pats = [p.strip() for p in _subset.split(",") if p.strip()]
+
+    def _keep(name: str) -> bool:
+        return any(fnmatch.fnmatch(name, p) for p in pats)
+
+    ORACLED = [n for n in ORACLED if _keep(n)]
+    ROWS_ONLY = [n for n in ROWS_ONLY if _keep(n)]
 
 
 @pytest.mark.parametrize("name", ORACLED)
