@@ -87,6 +87,9 @@ HEADLINE = [
     "text_bigram_lift",
     "dataset_split_assign",
     "dataset_pack_sequences",
+    "dataset_decontaminate",
+    "dataset_sample_stratified",
+    "text_repetition_filter",
     "curate_corpus",
     "dedup_embedding_blocked",
     "dedup_embedding_lsh",

@@ -753,6 +753,105 @@ SELECT query_id, vec_id, score, rk FROM s WHERE rk <= 10
 """
 
 
+# benchmark decontamination: flag training docs sharing any word-level
+# 8-gram with the held-out set (source='src0' stands in for the eval
+# benchmark). The eval gram set is tiny next to the corpus → Spark
+# broadcasts it into the join (no shuffle of the training gram stream);
+# at 100 TB the grams would be FNV-hashed to int64 first (the
+# operators/dedup.py shingle pattern) to make the exchanged keys
+# fixed-width, which changes no count below. Output: exact shared-gram
+# counts, non-vacuous via the planted cross-source near-dups.
+DECON_SPARK = """
+WITH t AS (
+  SELECT doc_id, source, split(trim(lower(text)), '\\\\s+') AS w FROM documents),
+g AS (
+  SELECT doc_id, source, concat_ws(' ', slice(w, i, 8)) AS gram
+  FROM t LATERAL VIEW explode(sequence(1, size(w) - 7)) AS i
+  WHERE size(w) >= 8),
+e AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+SELECT g.doc_id AS doc_id, count(DISTINCT g.gram) AS n_shared_8grams
+FROM g JOIN e ON g.gram = e.gram
+WHERE g.source <> 'src0'
+GROUP BY g.doc_id
+"""
+DECON_DUCK = """
+WITH t AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, source, array_to_string(w[i:i+7], ' ') AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(w) - 7)) AS u(i)
+  WHERE len(w) >= 8),
+e AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+SELECT g.doc_id AS doc_id, count(DISTINCT g.gram) AS n_shared_8grams
+FROM g JOIN e ON g.gram = e.gram
+WHERE g.source <> 'src0'
+GROUP BY g.doc_id
+"""
+
+# deterministic stratified sample: 10% per language, rank by md5 of the
+# doc id (identical hex in both engines → identical sample on any
+# engine, append-stable within a stratum). ceil(n/10) via integer
+# (n+9) DIV 10 — no floats. One exchange on lang; a production run
+# with few giant strata two-phases the rank (per-partition pre-rank +
+# offset merge) the same way assign_global_seq does for the frontier.
+STRAT_SAMPLE_SPARK = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(cast(doc_id AS string)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT doc_id, lang, CAST(rn AS BIGINT) AS strat_rank
+FROM r
+WHERE rn <= (n + 9) DIV 10
+"""
+STRAT_SAMPLE_DUCK = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT doc_id, lang, rn AS strat_rank
+FROM r
+WHERE rn <= (n + 9) // 10
+"""
+
+# Gopher-style repetition filter: duplicate-2gram fraction per doc,
+# keep iff dup fraction <= 1/8 — compared as integers
+# (8*(n-distinct) <= n), so the keep flag is bit-identical across
+# engines. Pure groupBy aggregation; map-side combine does the heavy
+# lifting at scale.
+REPETITION_SPARK = """
+WITH t AS (
+  SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS w FROM documents),
+g AS (
+  SELECT doc_id, concat(element_at(w, i), ' ', element_at(w, i + 1)) AS gram
+  FROM t LATERAL VIEW explode(sequence(1, size(w) - 1)) AS i
+  WHERE size(w) >= 2)
+SELECT doc_id,
+       count(*) AS n_2grams,
+       count(DISTINCT gram) AS n_distinct_2grams,
+       (8 * (count(*) - count(DISTINCT gram)) <= count(*)) AS keep
+FROM g GROUP BY doc_id
+"""
+REPETITION_DUCK = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(w) - 1)) AS u(i)
+  WHERE len(w) >= 2)
+SELECT doc_id,
+       count(*) AS n_2grams,
+       count(DISTINCT gram) AS n_distinct_2grams,
+       (8 * (count(*) - count(DISTINCT gram)) <= count(*)) AS keep
+FROM g GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry: name → (spark_fn, duckdb_oracle_sql or None)
 # ---------------------------------------------------------------------------
@@ -786,6 +885,9 @@ REGISTRY: dict[str, tuple] = {
     ),
     "dataset_split_assign": (_sql(SPLIT_ASSIGN_SPARK), SPLIT_ASSIGN_DUCK),
     "dataset_pack_sequences": (_sql(PACK_SQL), PACK_DUCK),
+    "dataset_decontaminate": (_sql(DECON_SPARK), DECON_DUCK),
+    "dataset_sample_stratified": (_sql(STRAT_SAMPLE_SPARK), STRAT_SAMPLE_DUCK),
+    "text_repetition_filter": (_sql(REPETITION_SPARK), REPETITION_DUCK),
     "dedup_embedding_cosine": (_sql(EMB_COSINE_SPARK), EMB_COSINE_DUCK),
     "ann_topk_bruteforce": (_sql(ANN_TOPK_SPARK), ANN_TOPK_DUCK),
 }
