@@ -27,9 +27,37 @@ def _duck(sql: str):
         for t in TABLES:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
         rel = con.sql(sql)
-        return rel.columns, rel.fetchall()
+        rows = rel.fetchall()
+        return rel.columns, rows, rel.fetchdf()
     finally:
         con.close()
+
+
+# The driver's value hash is TYPE-sensitive: a DuckDB column coming
+# back float64 (e.g. HUGEINT // INT) or int32 where Spark emits bigint
+# hash-mismatches even when the values are equal (the round-3
+# dataset_pack_sequences red). Width-check every numeric/bool column
+# whose DuckDB pandas dtype is observable (no nulls).
+_SPARK_TO_PD = {
+    "bigint": "int64", "int": "int32", "smallint": "int16",
+    "tinyint": "int8", "double": "float64", "float": "float32",
+    "boolean": "bool",
+}
+
+
+def _check_dtype_parity(name, spark_dtypes, ddf):
+    duck = {c: str(t) for c, t in zip(ddf.columns, ddf.dtypes)}
+    for col, styp in spark_dtypes:
+        want = _SPARK_TO_PD.get(styp)
+        if want is None:
+            continue  # strings/arrays/maps/decimals: not width-checked
+        got = duck[col]
+        if got == "object" or ddf[col].isnull().any():
+            continue  # null-degraded dtype — width not observable
+        assert got == want, (
+            f"{name}.{col}: Spark {styp} vs DuckDB pandas {got} — the "
+            "driver's value hash is type-sensitive; cast one side"
+        )
 
 
 def _norm_cell(v):
@@ -77,7 +105,8 @@ def test_query_matches_oracle(spark, name):
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
-    dcols, drows = _duck(entrymod.oracle_sql()[name])
+    dcols, drows, ddf = _duck(entrymod.oracle_sql()[name])
+    _check_dtype_parity(name, sdf.dtypes, ddf)
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"

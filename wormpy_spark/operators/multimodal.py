@@ -146,6 +146,50 @@ def phash_neardup_pairs(
     )
 
 
+def caption_pair_consistency(
+    images: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Image+caption curation check: phash-near-dup pairs (band LSH,
+    no quadratic work) joined with both captions — exact token-SET
+    intersection/union counts plus strict caption equality. Two
+    visually-identical images whose captions disagree are exactly what
+    a multimodal training pipeline must reconcile (keep one caption,
+    merge, or drop); the counts give the reconciliation policy its
+    signal. Spark's array_intersect/array_union are set-semantic
+    (duplicates removed), mirrored in the DuckDB oracle via
+    list_distinct."""
+    pairs = phash_neardup_pairs(images, max_hamming=max_hamming)
+    caps = images.select(
+        "image_id",
+        F.split(F.col("caption"), " ").alias("toks"),
+        "caption",
+    )
+    a = caps.select(
+        F.col("image_id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("caption").alias("cap_a"),
+    )
+    b = caps.select(
+        F.col("image_id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("caption").alias("cap_b"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias(
+                "caption_inter"
+            ),
+            F.size(F.array_union("toks_a", "toks_b")).alias("caption_union"),
+            (F.col("cap_a") == F.col("cap_b")).alias("same_caption"),
+        )
+    )
+
+
 RESIZE_SCHEMA = (
     "image_id string, fmt string, out_w int, out_h int, resize_ok boolean, "
     "mean_r double, mean_g double, mean_b double, std_gray double, "
