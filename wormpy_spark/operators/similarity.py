@@ -578,6 +578,8 @@ def ann_batch_topk(
         part_top.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(
-            "query_id", id_col, F.round("score", 4).alias("score"), "rk"
+            "query_id", id_col, F.round("score", 4).alias("score"),
+            # bigint like the oracle's row_number — engine-portable width
+            F.col("rk").cast("bigint").alias("rk"),
         )
     )

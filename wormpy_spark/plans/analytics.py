@@ -292,7 +292,8 @@ scored AS (
            ORDER BY tf.tf * (n.n - df.df + 0.5D) / (df.df + 0.5D) DESC,
                     tf.term) AS rk
   FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
-SELECT doc_id, term, tfidf, rk FROM scored WHERE rk <= 3
+SELECT doc_id, term, tfidf, CAST(rk AS BIGINT) AS rk
+FROM scored WHERE rk <= 3
 """
 TFIDF_DUCK = """
 WITH words AS (
@@ -573,7 +574,7 @@ QUALITY_SQL_SPARK = f"""
 WITH base AS (
   SELECT doc_id,
          ' ' || lower(text) || ' ' AS p,
-         size(split(trim(text), '\\\\s+')) AS n_words,
+         CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS n_words,
          length(text) AS n_chars,
          length(regexp_replace(text, '[^.,!?;:]', '')) AS n_punct
   FROM documents)
@@ -605,7 +606,7 @@ FROM base
 # token counting: whitespace tokens + a chars/4 BPE-ish estimate
 TOKENS_SQL_SPARK = """
 SELECT doc_id,
-       size(split(trim(text), '\\\\s+'))      AS tokens_ws,
+       CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) AS tokens_ws,
        cast(ceil(length(text) / 4.0) as bigint) AS tokens_bpe_est
 FROM documents
 """
