@@ -257,3 +257,22 @@ def test_assign_global_seq_bucket_path_equals_sampling(spark):
     )
     assert total == 0 and out.count() == 0
     handle.unpersist()
+
+
+def test_prepared_compressed_web_parity(spark, small_corpus):
+    """prepare_fetch_table(compress_bodies=True) stores bodies
+    zlib-compressed in the pinned table; the fetch kernel inflates them
+    transparently — every page payload must equal the raw-web crawl's
+    byte for byte."""
+    from wormpy_spark.plans.crawl import prepare_fetch_table
+
+    tables = corpus_to_spark(spark, small_corpus)
+    cfg = CrawlConfig(base_url="https://host0.test", budget=50, politeness_seed=7)
+    raw = run_crawl(spark, tables["web"], cfg, sitemaps=tables["sitemaps"])
+    prep = prepare_fetch_table(spark, tables["web"])
+    assert "body_z" in prep.columns and "body" not in prep.columns
+    comp = run_crawl(spark, prep, cfg, sitemaps=tables["sitemaps"])
+    raw_pages = [r.asDict(recursive=True) for r in raw.pages.orderBy("seq").collect()]
+    comp_pages = [r.asDict(recursive=True) for r in comp.pages.orderBy("seq").collect()]
+    assert raw_pages == comp_pages and len(raw_pages) > 10
+    prep.unpersist()

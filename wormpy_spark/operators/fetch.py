@@ -143,10 +143,26 @@ def process_row(row: dict, discovery: bool) -> dict:
 
 
 def make_fetch_extract(discovery: bool):
-    """mapInPandas function over the (due frontier ⋈ web) join."""
+    """mapInPandas function over the (due frontier ⋈ web) join.
+
+    Accepts bodies either raw (``body``/``dynamic_body``) or
+    zlib-compressed (``body_z``/``dynamic_body_z``, written by
+    prepare_fetch_table): compressed bodies cross the cache scan and
+    the Arrow boundary ~5x smaller — bus bytes are the scarce resource
+    at high core counts — and inflate here inside the per-core Python
+    worker before the identical extraction runs."""
+    import zlib
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            for col in ("body", "dynamic_body"):
+                zcol = f"{col}_z"
+                if zcol in pdf.columns:
+                    pdf[col] = [
+                        None if _isnull(v) else zlib.decompress(v)
+                        for v in pdf[zcol]
+                    ]
+                    pdf = pdf.drop(columns=[zcol])
             rows = [process_row(r, discovery) for r in pdf.to_dict("records")]
             yield pd.DataFrame(
                 rows,

@@ -130,7 +130,9 @@ def _empty(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
-def prepare_fetch_table(spark: SparkSession, web: DataFrame) -> DataFrame:
+def prepare_fetch_table(
+    spark: SparkSession, web: DataFrame, compress_bodies: bool = True
+) -> DataFrame:
     """One-time fetch-table preparation: hash-partition the web table
     on the join key and pin it, so every crawl round joins against
     co-located partitions with zero web-side exchange. On a cluster
@@ -138,8 +140,36 @@ def prepare_fetch_table(spark: SparkSession, web: DataFrame) -> DataFrame:
     table — data loading, done once, amortized across every crawl that
     follows (and excluded from steady-state throughput the same way
     the table write itself is). The returned handle is marked so
-    run_crawl skips its own per-crawl preparation."""
+    run_crawl skips its own per-crawl preparation.
+
+    ``compress_bodies``: store page bodies zlib-compressed in the
+    pinned table (like the encoded column chunks of a real columnar
+    table). Body bytes are the dominant traffic of every fetch round —
+    cache scan, Arrow transfer to the Python workers — and at high
+    core counts that traffic is bound by the SHARED memory bus, the
+    one resource local-mode scaling cannot multiply (a cluster adds a
+    bus per executor). Compressing trades ~5x fewer bytes on the bus
+    for a cheap per-batch zlib inflate in the (per-core, scalable)
+    Python workers; the fetch kernel decompresses transparently
+    (operators/fetch.py) and every downstream byte is identical —
+    parity-tested against the uncompressed path."""
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if compress_bodies:
+        import zlib as _zlib
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+        @_pandas_udf("binary")
+        def _deflate(b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [None if v is None else _zlib.compress(bytes(v), 1) for v in b],
+                dtype=object,
+            )
+
+        for col in ("body", "dynamic_body"):
+            if col in web.columns:
+                web = web.withColumn(f"{col}_z", _deflate(F.col(col))).drop(col)
     prepared = web.repartition(n_part, "url_norm").persist()
     prepared.count()  # materialize the layout now
     prepared._wormpy_prepared = True
