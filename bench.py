@@ -260,6 +260,21 @@ def main() -> None:
             result["crawl"] = min(
                 base_trials[CPUS_BIG], key=lambda r: r["wall_s"]
             )
+        # every completed level's walls, even mid-pair: a kill between
+        # the small and big level of a pair must not lose the finished
+        # trial
+        walls = {
+            f"local{c}": [r["wall_s"] for r in t]
+            for c, t in base_trials.items() if t
+        }
+        walls.update(
+            {
+                f"local{c}_at_{SCALE2}x": [r["wall_s"] for r in t]
+                for c, t in s2_trials.items() if t
+            }
+        )
+        if walls:
+            result["crawl_walls"] = walls
         if scaling is not None:
             result["scaling"] = scaling
         s2 = _scaling_dict(s2_trials, S2_SMALL, S2_BIG)
