@@ -853,6 +853,75 @@ FROM g GROUP BY doc_id
 """
 
 
+# ordered three-stage funnel (view → click → purchase, strictly
+# increasing timestamps): the sequential-pattern analytic every
+# event-pipeline needs, with a 24h conversion window per stage (the
+# window is what makes stages actually distinguish users). Each stage
+# is a per-user min-timestamp aggregate joined back — small per-user aggregates that Spark
+# broadcasts; the events scan stays pruned to (user_id, ts,
+# event_type). Timestamps surface as epoch seconds (BIGINT) per the
+# cross-engine rules.
+FUNNEL_SPARK = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS funnel_stage,
+       unix_timestamp(s1.t1) AS t_view,
+       unix_timestamp(s2.t2) AS t_click,
+       unix_timestamp(s3.t3) AS t_purchase
+FROM u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+FUNNEL_DUCK = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS funnel_stage,
+       -- floor, not cast: epoch() keeps sub-second fractions and
+       -- DuckDB's double->int cast ROUNDS where Spark's
+       -- unix_timestamp FLOORS
+       CAST(floor(epoch(s1.t1)) AS BIGINT) AS t_view,
+       CAST(floor(epoch(s2.t2)) AS BIGINT) AS t_click,
+       CAST(floor(epoch(s3.t3)) AS BIGINT) AS t_purchase
+FROM u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry: name → (spark_fn, duckdb_oracle_sql or None)
 # ---------------------------------------------------------------------------
@@ -880,6 +949,7 @@ REGISTRY: dict[str, tuple] = {
     "text_tfidf_topk": (_sql(TFIDF_SPARK), TFIDF_DUCK),
     "text_bigram_lift": (_sql(BIGRAM_LIFT_SPARK), BIGRAM_LIFT_DUCK),
     "events_value_quantiles": (_sql(QUANTILES_SPARK), QUANTILES_DUCK),
+    "events_funnel": (_sql(FUNNEL_SPARK), FUNNEL_DUCK),
     "events_distinct_users_salted": (
         _sql(SALTED_DISTINCT_SPARK),
         SALTED_DISTINCT_DUCK,
