@@ -190,3 +190,31 @@ def test_connected_components_nonconvergence_raises(spark):
         ).collect()
     }
     assert ok == {i: 100 for i in range(100, 131)}
+
+
+def test_asof_join_backward(spark):
+    """merge_asof semantics: largest right_time <= left_time per key
+    (inclusive), null when nothing at-or-before, keys never bleed."""
+    from wormpy_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (2, 5, "a"), (3, 4, "a"), (4, 100, "b"), (5, 1, "c")],
+        "id long, t long, k string",
+    )
+    right = spark.createDataFrame(
+        [(5, "a", 50.0), (10, "a", 60.0), (99, "b", 70.0)],
+        "rt long, k string, v double",
+    )
+    out = {
+        r["id"]: (r["rt"], r["v"])
+        for r in asof_join_backward(
+            left, right, "k", "t", "rt", ["rt", "v"]
+        ).collect()
+    }
+    assert out == {
+        1: (10, 60.0),   # exact tie at t=10 matches (inclusive)
+        2: (5, 50.0),
+        3: (None, None),  # before any right row
+        4: (99, 70.0),
+        5: (None, None),  # key with no right rows at all
+    }
