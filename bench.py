@@ -85,6 +85,9 @@ HEADLINE = [
     "events_sessionize",
     "events_value_quantiles",
     "events_distinct_users_salted",
+    "events_funnel",
+    "events_asof_order",
+    "events_retention_cohort",
     "dedup_minhash_lsh",
     "dedup_cluster_assign",
     "dedup_minhash_incremental",

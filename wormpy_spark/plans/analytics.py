@@ -922,6 +922,37 @@ LEFT JOIN s3 ON u.user_id = s3.user_id
 """
 
 
+# weekly retention cohorts: users grouped by the week of their first
+# event; n_users active k weeks later. Week arithmetic stays in exact
+# integer epoch space (cohort and activity weeks are date_trunc'd, the
+# difference divided by 604800 with integer DIV) so both engines agree
+# bit-for-bit. Two aggregations, both map-side combinable.
+COHORT_SPARK = """
+WITH f AS (
+  SELECT user_id, unix_timestamp(date_trunc('week', min(ts))) AS cw
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT e.user_id, f.cw,
+         CAST((unix_timestamp(date_trunc('week', e.ts)) - f.cw)
+              DIV 604800 AS BIGINT) AS week_k
+  FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT cw AS cohort_week, week_k, count(*) AS n_users
+FROM a GROUP BY cw, week_k
+"""
+COHORT_DUCK = """
+WITH f AS (
+  SELECT user_id, epoch(date_trunc('week', min(ts)))::BIGINT AS cw
+  FROM events GROUP BY user_id),
+a AS (
+  SELECT DISTINCT e.user_id, f.cw,
+         (epoch(date_trunc('week', e.ts))::BIGINT - f.cw) // 604800
+           AS week_k
+  FROM events e JOIN f ON e.user_id = f.user_id)
+SELECT cw AS cohort_week, week_k, count(*) AS n_users
+FROM a GROUP BY cw, week_k
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry: name → (spark_fn, duckdb_oracle_sql or None)
 # ---------------------------------------------------------------------------
@@ -950,6 +981,7 @@ REGISTRY: dict[str, tuple] = {
     "text_bigram_lift": (_sql(BIGRAM_LIFT_SPARK), BIGRAM_LIFT_DUCK),
     "events_value_quantiles": (_sql(QUANTILES_SPARK), QUANTILES_DUCK),
     "events_funnel": (_sql(FUNNEL_SPARK), FUNNEL_DUCK),
+    "events_retention_cohort": (_sql(COHORT_SPARK), COHORT_DUCK),
     "events_distinct_users_salted": (
         _sql(SALTED_DISTINCT_SPARK),
         SALTED_DISTINCT_DUCK,
