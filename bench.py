@@ -211,6 +211,23 @@ def crawl_level(cpus: int, corpus_dir: str = CORPUS_DIR, budget: int = CRAWL_BUD
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def crawl_level_safe(
+    cpus: int, corpus_dir: str = CORPUS_DIR, budget: int = CRAWL_BUDGET
+) -> dict | None:
+    """A failed or timed-out trial must never abort the harness: every
+    already-measured number is more valuable than the crash, and the
+    final emit still has to happen. Failures go to stderr and the trial
+    is simply absent from the walls."""
+    try:
+        return crawl_level(cpus, corpus_dir, budget)
+    except Exception as e:  # subprocess timeout, crash, bad JSON
+        print(
+            f"crawl trial cpus={cpus} budget={budget} failed: {e}",
+            file=sys.stderr,
+        )
+        return None
+
+
 def _scaling_dict(
     trials: dict[int, list[dict]], n_small: int, n_big: int
 ) -> dict | None:
@@ -333,12 +350,12 @@ def main() -> None:
     # ---- phase 2: base-scale crawl pair, trial 1 ---------------------
     ensure_corpus()
     for cpus in (CPUS_SMALL, CPUS_BIG):
-        base_trials[cpus].append(crawl_level(cpus))
+        r = crawl_level_safe(cpus)
+        if r is not None:
+            base_trials[cpus].append(r)
+            queries[f"crawl_local{cpus}"] = r["wall_s"]
         emit()
     base_pair_cost = sum(r["wall_s"] for t in base_trials.values() for r in t)
-    queries[f"crawl_local{CPUS_SMALL}"] = base_trials[CPUS_SMALL][0]["wall_s"]
-    queries[f"crawl_local{CPUS_BIG}"] = base_trials[CPUS_BIG][0]["wall_s"]
-    emit()
 
     # ---- phase 3: 3x-scale pair, trial 1 -----------------------------
     # the 3x row evidences the weak-scaling TREND (efficiency rises as
@@ -350,9 +367,9 @@ def main() -> None:
     if SCALE2 > 1 and remaining() > 120:
         ensure_corpus(SCALE2_CORPUS, BENCH_PAGES * SCALE2)
         for cpus in (S2_SMALL, S2_BIG):
-            s2_trials[cpus].append(
-                crawl_level(cpus, SCALE2_CORPUS, CRAWL_BUDGET * SCALE2)
-            )
+            r = crawl_level_safe(cpus, SCALE2_CORPUS, CRAWL_BUDGET * SCALE2)
+            if r is not None:
+                s2_trials[cpus].append(r)
             emit()
         s2_pair_cost = sum(r["wall_s"] for t in s2_trials.values() for r in t)
 
@@ -364,21 +381,20 @@ def main() -> None:
     for _ in range(1, TRIALS):
         if s2_pair_cost and remaining() > 0.6 * s2_pair_cost:
             for cpus in (S2_SMALL, S2_BIG):
-                s2_trials[cpus].append(
-                    crawl_level(cpus, SCALE2_CORPUS, CRAWL_BUDGET * SCALE2)
-                )
+                r = crawl_level_safe(cpus, SCALE2_CORPUS, CRAWL_BUDGET * SCALE2)
+                if r is not None:
+                    s2_trials[cpus].append(r)
                 emit()
     for _ in range(1, TRIALS):
         if remaining() > 0.6 * base_pair_cost:
             for cpus in (CPUS_SMALL, CPUS_BIG):
-                base_trials[cpus].append(crawl_level(cpus))
+                r = crawl_level_safe(cpus)
+                if r is not None:
+                    base_trials[cpus].append(r)
+                    queries[f"crawl_local{cpus}"] = min(
+                        x["wall_s"] for x in base_trials[cpus]
+                    )
                 emit()
-            queries[f"crawl_local{CPUS_SMALL}"] = min(
-                r["wall_s"] for r in base_trials[CPUS_SMALL]
-            )
-            queries[f"crawl_local{CPUS_BIG}"] = min(
-                r["wall_s"] for r in base_trials[CPUS_BIG]
-            )
 
     emit(partial=False)
 
