@@ -218,3 +218,26 @@ def test_asof_join_backward(spark):
         4: (99, 70.0),
         5: (None, None),  # key with no right rows at all
     }
+
+
+def test_asof_join_tolerance(spark):
+    """merge_asof(tolerance=...): a match further back than the bound
+    is nulled, an in-bound match survives, exact-boundary is inclusive."""
+    from pyspark.sql import functions as F
+
+    from wormpy_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (2, 100, "b"), (3, 100, "c")], "id long, t long, k string"
+    )
+    right = spark.createDataFrame(
+        [(95, "a", 1.0), (50, "b", 2.0), (90, "c", 3.0)],
+        "rt long, k string, v double",
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in asof_join_backward(
+            left, right, "k", "t", "rt", ["v"], tolerance=F.lit(10)
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: None, 3: 3.0}  # 95>=90 in, 50<90 out, 90 boundary in

@@ -37,10 +37,17 @@ def asof_join_backward(
     left_time: str,
     right_time: str,
     payload_cols: list[str],
+    tolerance=None,
 ) -> DataFrame:
     """Left as-of-backward join: all ``left`` columns plus
     ``payload_cols`` from the matched right row (null when no right row
-    at or before ``left_time`` shares the key)."""
+    at or before ``left_time`` shares the key).
+
+    ``tolerance`` (optional): a Column/literal in the time column's
+    difference domain — a match further back than ``tolerance`` is
+    nulled out, like pandas ``merge_asof(tolerance=...)``. The matched
+    right_time rides the payload struct, so the bound is a post-window
+    projection: no extra shuffle."""
     for c in ("_t", "_o", "_p", "_m"):
         if c in left.columns:
             raise ValueError(f"left side already has internal column {c}")
@@ -48,7 +55,10 @@ def asof_join_backward(
         right.select(
             on,
             F.col(right_time).alias("_t"),
-            F.struct(*[F.col(c) for c in payload_cols]).alias("_p"),
+            F.struct(
+                F.col(right_time).alias("_rt"),
+                *[F.col(c) for c in payload_cols],
+            ).alias("_p"),
         )
         .withColumn("_o", F.lit(0))
     )
@@ -64,6 +74,13 @@ def asof_join_backward(
     )
     m = u.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
     out = m.filter(F.col("_o") == 1)
+    if tolerance is not None:
+        out = out.withColumn(
+            "_m",
+            F.when(
+                F.col(f"_m._rt") >= F.col(left_time) - tolerance, F.col("_m")
+            ),
+        )
     for c in payload_cols:
         out = out.withColumn(c, F.col(f"_m.{c}"))
     return out.drop("_t", "_o", "_p", "_m")
