@@ -185,9 +185,12 @@ def _pin_prefix(cpus: int) -> list[str]:
 
 
 def crawl_level(cpus: int, corpus_dir: str = CORPUS_DIR, budget: int = CRAWL_BUDGET) -> dict:
-    # cap the subprocess timeout by the remaining budget (+ grace) so a
-    # hung level cannot eat the whole deadline
-    sub_timeout = max(600.0, min(3000.0, remaining() + 300.0))
+    # cap the subprocess timeout by the remaining budget so a hung
+    # level cannot eat the whole deadline; the +300 grace only applies
+    # while under 80% of budget (round 4 overran DEADLINE by 660 s
+    # because a pair started near the edge kept its grace)
+    grace = 300.0 if elapsed() < 0.8 * DEADLINE else 0.0
+    sub_timeout = max(60.0, min(3000.0, remaining() + grace))
     out = subprocess.run(
         _pin_prefix(cpus)
         + [
@@ -262,9 +265,13 @@ def main() -> None:
     s2_trials: dict[int, list[dict]] = {S2_SMALL: [], S2_BIG: []}
 
     def emit(partial: bool = True) -> None:
-        """Print the current best-known result as one JSON line. The
-        driver keeps the LAST parseable line, so re-emitting after every
-        milestone makes the artifact timeout-proof."""
+        """Print the current best-known result as TWO JSON lines: the
+        full rich line first, then a COMPACT summary line (< ~1000
+        chars). The driver keeps the LAST parseable stdout line and its
+        tail capture truncates long output at the FRONT — round 4's
+        complete ~4 KB final line was stored truncated mid-token and
+        parsed as null. Ending every milestone with a short line makes
+        the artifact both timeout-proof and truncation-proof."""
         scaling = _scaling_dict(base_trials, CPUS_SMALL, CPUS_BIG)
         result: dict = {
             "metric": "headline_queries_plus_crawl_total_wall",
@@ -303,6 +310,57 @@ def main() -> None:
                 pages_factor=SCALE2, **s2
             )
         print(json.dumps(result), flush=True)
+
+        # -- compact summary: everything the grader needs, nothing that
+        # can push the line past a tail-capture boundary. No per-query
+        # map, no round_walls, no per-trial wall lists.
+        compact: dict = {
+            "metric": result["metric"],
+            "value": result["value"],
+            "unit": "sec",
+            "n_queries": len(queries),
+            "sf": result["sf"],
+            "partial": partial,
+            "elapsed_s": result["elapsed_s"],
+        }
+        crawl = result.get("crawl")
+        if crawl:
+            compact["crawl"] = {
+                k: crawl[k]
+                for k in (
+                    "cpus",
+                    "pages",
+                    "wall_s",
+                    "urls_per_sec",
+                    "images_verified",
+                    "verify_failures",
+                    "neardup_pairs",
+                    "skew_ratio",
+                )
+                if k in crawl
+            }
+        for key, row in (("scaling", scaling), ("scaling_at_3x_pages", s2)):
+            if row is None:
+                continue
+            compact[key] = {
+                k: row[k]
+                for k in (
+                    "cpus_small",
+                    "cpus_big",
+                    "wall_small_s",
+                    "wall_big_s",
+                    "urls_per_sec_small",
+                    "urls_per_sec_big",
+                    "speedup",
+                    "efficiency",
+                    "trials",
+                )
+            }
+            if key == "scaling_at_3x_pages":
+                compact[key]["pages_factor"] = SCALE2
+        line = json.dumps(compact)
+        assert len(line) < 1000, f"compact bench line too long: {len(line)}"
+        print(line, flush=True)
 
     # ---- phase 1: headline query sweep -------------------------------
     spark = get_spark(
@@ -360,11 +418,14 @@ def main() -> None:
     # ---- phase 3: 3x-scale pair, trial 1 -----------------------------
     # the 3x row evidences the weak-scaling TREND (efficiency rises as
     # per-round data grows); it uses the 2->8 pair because a 3x-scale
-    # local[1] trial costs ~21 minutes. Run trial 1 whenever any budget
-    # remains: the partial-emission protocol already saved everything
-    # above.
+    # local[1] trial costs ~21 minutes. Gate on a REAL cost estimate —
+    # ~1.6x the measured base-pair wall (3x data on 2x the cores, plus
+    # possible corpus generation) — not a constant: round 4 started this
+    # phase with 120 s of nominal headroom and legally overran DEADLINE
+    # by 11 minutes.
     s2_pair_cost = 0.0
-    if SCALE2 > 1 and remaining() > 120:
+    s2_est = 1.6 * base_pair_cost + 120.0
+    if SCALE2 > 1 and base_pair_cost and remaining() > s2_est:
         ensure_corpus(SCALE2_CORPUS, BENCH_PAGES * SCALE2)
         for cpus in (S2_SMALL, S2_BIG):
             r = crawl_level_safe(cpus, SCALE2_CORPUS, CRAWL_BUDGET * SCALE2)
@@ -379,14 +440,14 @@ def main() -> None:
     # that measures 0.94 on quiet silicon). 3x repeats first: it is the
     # row the north rule leans on.
     for _ in range(1, TRIALS):
-        if s2_pair_cost and remaining() > 0.6 * s2_pair_cost:
+        if s2_pair_cost and remaining() > 1.05 * s2_pair_cost:
             for cpus in (S2_SMALL, S2_BIG):
                 r = crawl_level_safe(cpus, SCALE2_CORPUS, CRAWL_BUDGET * SCALE2)
                 if r is not None:
                     s2_trials[cpus].append(r)
                 emit()
     for _ in range(1, TRIALS):
-        if remaining() > 0.6 * base_pair_cost:
+        if base_pair_cost and remaining() > 1.05 * base_pair_cost:
             for cpus in (CPUS_SMALL, CPUS_BIG):
                 r = crawl_level_safe(cpus)
                 if r is not None:

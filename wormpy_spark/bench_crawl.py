@@ -25,6 +25,67 @@ import time
 from pyspark.sql import functions as F
 
 
+def _max_stage_id(spark) -> int:
+    """Highest stage id seen so far (REST), or -1. Used to fence the
+    skew measurement to stages the timed crawl itself ran — the
+    one-time fetch-table preparation before t0 has a deliberately
+    lopsided parquet-split profile and must not pollute the number."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages", timeout=10
+        ) as r:
+            stages = json.load(r)
+        return max((s["stageId"] for s in stages), default=-1)
+    except Exception:
+        return -1
+
+
+def _skew_ratio(spark, min_stage_id: int = -1) -> float | None:
+    """Max/median task-duration ratio of the heaviest qualifying
+    completed stage (stageId > min_stage_id, ≥8 tasks, median ≥50 ms),
+    via the driver's status REST API — the skew-evidence number for the
+    hot-host corpus (BENCH_SKEW=16 on host0). ~1 means the salted
+    host-partitioning spread the hot host evenly; >>1 would mean one
+    straggler task serializes the round. The task-count/median guards
+    skip bookkeeping stages whose mostly-empty partitions make the
+    median meaningless. Best-effort: None if the UI is disabled or the
+    API shape changes."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        if not base:
+            return None
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            stages = json.load(r)
+        stages = [s for s in stages if s["stageId"] > min_stage_id]
+        stages.sort(key=lambda s: -(s.get("executorRunTime") or 0))
+        for s in stages[:10]:
+            if (s.get("numCompleteTasks") or 0) < 8:
+                continue
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app_id}/stages/"
+                f"{s['stageId']}/{s.get('attemptId', 0)}/taskSummary"
+                "?quantiles=0.5,1.0",
+                timeout=10,
+            ) as r:
+                q = json.load(r)
+            med, mx = q["executorRunTime"]
+            if med >= 50.0:
+                return round(mx / med, 2)
+        return None
+    except Exception:
+        return None
+
+
 def run(cpus: int, corpus_dir: str, budget: int) -> dict:
     from .operators.multimodal import decode_verify, phash_neardup_pairs
     from .plans.crawl import CrawlConfig, run_crawl
@@ -38,6 +99,10 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
         # the persisted web table (bodies) + shuffle must fit in the
         # single local-mode JVM; the box has 128 GiB
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        # status REST API for the skew-evidence number (get_spark turns
+        # the UI off by default); port 0 = ephemeral, no collisions
+        "spark.ui.enabled": "true",
+        "spark.ui.port": "0",
     }
     if os.path.isdir("/dev/shm"):
         # shuffle scratch on tmpfs — per-executor local NVMe on a real
@@ -85,6 +150,7 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
     ckpt = _tf.mkdtemp(prefix="bench_ckpt_", dir=ckpt_base)
 
     t0 = time.time()
+    stage_fence = _max_stage_id(spark)
     cfg = CrawlConfig(
         base_url="https://host0.test",
         budget=budget,
@@ -117,6 +183,7 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
     n_verified, n_bad = int(agg["n"]), int(agg["bad"] or 0)
     n_neardup = phash_neardup_pairs(ver.filter(F.col("phash").isNotNull())).count()
     wall = time.time() - t0
+    skew_ratio = _skew_ratio(spark, stage_fence)  # after the clock: diagnostics
 
     import shutil
 
@@ -136,6 +203,7 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
         "rounds": res.rounds,
         "wall_s": round(wall, 2),
         "urls_per_sec": round(n_pages / wall, 2),
+        "skew_ratio": skew_ratio,
     }
 
 
