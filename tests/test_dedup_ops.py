@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import functions as F
 
 from wormpy_spark.operators.dedup import minhash_lsh_jaccard_pairs
@@ -241,3 +242,101 @@ def test_asof_join_tolerance(spark):
         ).collect()
     }
     assert out == {1: 1.0, 2: None, 3: 3.0}  # 95>=90 in, 50<90 out, 90 boundary in
+
+
+def test_asof_join_payload_collision_raises(spark):
+    """A payload name already present on the left must raise instead of
+    silently overwriting the caller's column (ADVICE r4)."""
+    import pytest
+
+    from wormpy_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame([(1, 10, "a", 0.0)], "id long, t long, k string, v double")
+    right = spark.createDataFrame([(5, "a", 1.0)], "rt long, k string, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join_backward(left, right, "k", "t", "rt", ["v"])
+
+
+def test_asof_join_forward_vs_duckdb(spark):
+    """direction='forward': smallest right_time >= left_time, verified
+    against DuckDB ASOF JOIN with the reversed inequality."""
+    import duckdb
+
+    from wormpy_spark.operators.asof import asof_join
+
+    lrows = [(i, (i * 37) % 100, ["a", "b", "c"][i % 3]) for i in range(60)]
+    rrows = [((j * 13) % 100, ["a", "b", "c"][j % 2], float(j)) for j in range(30)]
+    left = spark.createDataFrame(lrows, "id long, t long, k string")
+    right = (
+        spark.createDataFrame(rrows, "rt long, k string, v double")
+        # make (k, rt) unique — the tie contract both engines share
+        .groupBy("k", "rt").agg(F.min("v").alias("v"))
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "t", "rt", ["v"], direction="forward"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(lrows, columns=["id", "t", "k"]))
+    rp = (
+        pd.DataFrame(rrows, columns=["rt", "k", "v"])
+        .groupby(["k", "rt"], as_index=False)["v"].min()
+    )
+    con.register("r", rp)
+    want = {
+        int(row[0]): (None if row[1] is None or row[1] != row[1] else float(row[1]))
+        for row in con.execute(
+            "SELECT l.id, r.v FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.t <= r.rt"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_asof_join_nearest_vs_pandas(spark):
+    """direction='nearest' matches pandas merge_asof(direction='nearest')
+    on tie-free data; the documented tie rule (equal distance -> the
+    backward match) is pinned separately."""
+    from wormpy_spark.operators.asof import asof_join
+
+    # odd left times vs even right times: no equal-distance ties, so
+    # pandas (which resolves ties forward) and this engine agree
+    lrows = [(i, 2 * ((i * 7) % 50) + 1, ["a", "b"][i % 2]) for i in range(40)]
+    rrows = [(2 * ((j * 11) % 50), ["a", "b"][j % 2], float(j)) for j in range(20)]
+    left = spark.createDataFrame(lrows, "id long, t long, k string")
+    right = (
+        spark.createDataFrame(rrows, "rt long, k string, v double")
+        .groupBy("k", "rt").agg(F.min("v").alias("v"))
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "t", "rt", ["v"], direction="nearest"
+        ).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["id", "t", "k"]).sort_values("t")
+    rp = (
+        pd.DataFrame(rrows, columns=["rt", "k", "v"])
+        .groupby(["k", "rt"], as_index=False)["v"].min()
+        .sort_values("rt")
+    )
+    merged = pd.merge_asof(
+        lp, rp, left_on="t", right_on="rt", by="k", direction="nearest"
+    )
+    want = {
+        int(r.id): (None if r.v != r.v else float(r.v))
+        for r in merged.itertuples()
+    }
+    assert got == want
+
+    # tie rule: t=10 with right rows at 5 and 15 -> backward (5) wins
+    tie = asof_join(
+        spark.createDataFrame([(1, 10, "a")], "id long, t long, k string"),
+        spark.createDataFrame(
+            [(5, "a", 1.0), (15, "a", 2.0)], "rt long, k string, v double"
+        ),
+        "k", "t", "rt", ["v"], direction="nearest",
+    ).collect()
+    assert tie[0]["v"] == 1.0

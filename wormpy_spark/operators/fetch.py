@@ -55,6 +55,17 @@ PAGES_SCHEMA = (
     "attempts int, fetch_failed_first boolean"
 )
 
+# Crawl-internal variant: adds the pre-canonicalized expansion column
+# (scope-filtered, normalized, per-parent distinct+sorted — exactly the
+# per_parent set the reference builds at scraper.py:99-102). Computing
+# it HERE, inside the per-core Python pass that already holds the
+# links, lets the expansion posexplode it directly — no per-round
+# canonicalize-UDF pass over the ~50x raw link stream and no
+# per-parent collect_set shuffle. Snapshots still write the exact
+# PAGES_SCHEMA (the column is dropped before the write), so on-disk
+# layout, sinks, and resume are unchanged.
+PAGES_SCHEMA_EXPAND = PAGES_SCHEMA + ", discovered_norm array<string>"
+
 
 def _isnull(v) -> bool:
     """None/NaN check that tolerates numpy arrays (Arrow batches hand
@@ -142,7 +153,7 @@ def process_row(row: dict, discovery: bool) -> dict:
     return out
 
 
-def make_fetch_extract(discovery: bool):
+def make_fetch_extract(discovery: bool, scope_base: str | None = None):
     """mapInPandas function over the (due frontier ⋈ web) join.
 
     Accepts bodies either raw (``body``/``dynamic_body``) or
@@ -150,10 +161,37 @@ def make_fetch_extract(discovery: bool):
     prepare_fetch_table): compressed bodies cross the cache scan and
     the Arrow boundary ~5x smaller — bus bytes are the scarce resource
     at high core counts — and inflate here inside the per-core Python
-    worker before the identical extraction runs."""
+    worker before the identical extraction runs.
+
+    ``scope_base``: when set, each row additionally carries
+    ``discovered_norm`` — sorted({normalize(l)}) restricted to the
+    scope prefix, the reference's per-parent expansion set
+    (scraper.py:99-102; identical to plans/fastround.py:218-224) —
+    and the output schema is PAGES_SCHEMA_EXPAND. Normalization is
+    memoized per task: link batches repeat nav/boilerplate URLs
+    heavily, so unique-then-map cuts urlparse calls 10-30x (same trick
+    as functions.urlnorm.canonicalize_udf)."""
     import zlib
 
+    from ..functions.urlnorm import normalize_url
+
+    cols = [
+        "seq", "round", "url_norm", "host", "host_shard",
+        "content_type", "text", "metadata", "discovered_urls",
+        "error", "image_id", "attempts", "fetch_failed_first",
+    ]
+    if scope_base is not None:
+        cols = cols + ["discovered_norm"]
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, str] = {}
+
+        def _norm(u: str) -> str:
+            v = memo.get(u)
+            if v is None:
+                memo[u] = v = normalize_url(u)
+            return v
+
         for pdf in batches:
             for col in ("body", "dynamic_body"):
                 zcol = f"{col}_z"
@@ -164,14 +202,17 @@ def make_fetch_extract(discovery: bool):
                     ]
                     pdf = pdf.drop(columns=[zcol])
             rows = [process_row(r, discovery) for r in pdf.to_dict("records")]
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "seq", "round", "url_norm", "host", "host_shard",
-                    "content_type", "text", "metadata", "discovered_urls",
-                    "error", "image_id", "attempts", "fetch_failed_first",
-                ],
-            )
+            if scope_base is not None:
+                for o in rows:
+                    links = o["discovered_urls"] or []
+                    o["discovered_norm"] = sorted(
+                        {
+                            n
+                            for n in (_norm(l) for l in links)
+                            if n.startswith(scope_base)
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
 
     return fn
 

@@ -164,7 +164,31 @@ def expand_frontier(
     The admission anti-join vs the seen set (J2) is applied by the
     caller (operators.seen.anti_join_seen) so it can use the round's
     refreshed bloom sidecar.
+
+    Fast path: when the pages carry ``discovered_norm`` (the fetch
+    kernel's pre-canonicalized, scope-filtered, per-parent
+    distinct+sorted expansion set — operators/fetch.py), the per-parent
+    set is already one row's array, so a single posexplode yields the
+    sibling order with NO shuffle and NO canonicalize-UDF pass over the
+    raw link stream. The groupBy(collect_set) path below remains for
+    pages produced without the column (older snapshots, direct tests).
     """
+    if "discovered_norm" in pages.columns:
+        return (
+            pages.filter(F.col("error").isNull())
+            .filter(F.size("discovered_norm") > 0)
+            .select(
+                F.col("seq").alias("parent_seq"),
+                F.posexplode("discovered_norm").alias("pos", "url_norm"),
+            )
+            .select(
+                F.col("url_norm").alias("url"),
+                F.lit(next_round).cast("int").alias("round_enqueued"),
+                F.col("parent_seq"),
+                (F.col("pos") + 1).cast("int").alias("sibling_rank"),
+                F.col("url_norm"),
+            )
+        )
     links = (
         pages.filter(F.col("error").isNull())
         .filter(F.size("discovered_urls") > 0)

@@ -53,7 +53,11 @@ from ..functions.urlnorm import (
     normalize_url,
     suspicious_pred,
 )
-from ..operators.fetch import PAGES_SCHEMA, make_fetch_extract
+from ..operators.fetch import (
+    PAGES_SCHEMA,
+    PAGES_SCHEMA_EXPAND,
+    make_fetch_extract,
+)
 from ..operators.frontier import (
     FRONTIER_SCHEMA,
     PRIORITY_COLS,
@@ -324,6 +328,13 @@ def run_crawl(
 
     pages_rounds: list[int] = catalog.rounds() if config.resume else []
     bloom_bc = None
+    # True when the current frontier is KNOWN globally dedup'd at write
+    # time (expansion/fastround output with no per-host deferral in
+    # play): the loop's J2 dedup shuffle is then an identity and is
+    # skipped — one full frontier exchange per round saved. Seeds (base
+    # may repeat in the sitemap list) and resumed frontiers (writer
+    # config unknown) keep the dedup.
+    frontier_deduped = False
 
     r = start_round
     while r < config.max_rounds and processed < budget:
@@ -387,6 +398,10 @@ def run_crawl(
                 frontier_rows = None
                 seen_set = None
                 frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(frontier_path)
+                # fastround's frontier_next is globally first-wins
+                # dedup'd (best-dict, fastround.py) unless deferral
+                # rows were unioned in
+                frontier_deduped = config.max_per_host_per_round is None
                 seen = seen_from_pages(pages_rounds)
             r += 1
             continue
@@ -407,7 +422,9 @@ def run_crawl(
             in_scope, seen, bloom_bc,
             seen_count=processed, broadcast_below=config.bloom_min_seen,
         )
-        deduped = dedup_within_round(not_seen)                    # J2 equiv.
+        deduped = (                                               # J2 equiv.
+            not_seen if frontier_deduped else dedup_within_round(not_seen)
+        )
 
         # P5/P6 — HEAD-model probe: only suspicious URLs consult the
         # content type; image/* are skipped (scraper.py:81-84).
@@ -499,8 +516,12 @@ def run_crawl(
         from pyspark.sql import Observation
 
         obs = Observation(f"round_{r}")
+        # scope_base: the kernel also emits the pre-canonicalized
+        # expansion column (discovered_norm) so the expansion below is
+        # a shuffle-free posexplode — see operators/fetch.py
         pages_out = joined.mapInPandas(
-            make_fetch_extract(config.discovery), PAGES_SCHEMA
+            make_fetch_extract(config.discovery, scope_base=base),
+            PAGES_SCHEMA_EXPAND,
         ).observe(obs, F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"))
         # persist BEFORE the (synchronous) snapshot write: the write job
         # materializes the cache, and the expansion below reads the
@@ -512,7 +533,12 @@ def run_crawl(
         # cache locks, starving the winner — measured net-slower at
         # every parallelism level.)
         pages_r = pages_out.persist()
-        pages_r_path = catalog.write_table("pages", r, pages_r)
+        # snapshots keep the exact PAGES_SCHEMA contract (sinks, resume,
+        # fastround parity): the expansion column lives only in the
+        # cached frame the expansion below consumes
+        pages_r_path = catalog.write_table(
+            "pages", r, pages_r.drop("discovered_norm")
+        )
         n_errors = int(obs.get["errors"] or 0)  # free: rides the write job
         t_fetch = time.time()
 
@@ -595,6 +621,9 @@ def run_crawl(
             frontier_next = deferred.unionByName(frontier_next)
         frontier_path = catalog.write_table("frontier", r, frontier_next)
         frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(frontier_path)
+        # admitted is dedup_within_round output; deferral union may
+        # reintroduce a URL the expansion also discovered
+        frontier_deduped = config.max_per_host_per_round is None
         if bloom_thread is not None:
             bloom_thread.join()
             if "err" in bloom_out:
