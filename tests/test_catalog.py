@@ -55,3 +55,36 @@ def test_time_travel_and_rollback_resume(spark, tmp_path):
         sitemaps=tables["sitemaps"],
     )
     assert [r["url_norm"] for r in resumed.order.collect()] == want_order
+
+
+def test_iceberg_config_contract(spark):
+    """SURVEY §7.5-4's config-only swap, exercised instead of prose:
+    iceberg_conf() is the exact public SparkCatalog wiring, a live
+    session accepts every key at runtime, and backend selection falls
+    back to the shim when iceberg-spark-runtime is absent (as in this
+    sandbox)."""
+    from wormpy_spark.session import (
+        iceberg_available,
+        iceberg_conf,
+        select_catalog_backend,
+    )
+
+    conf = iceberg_conf(warehouse="/tmp/wh")
+    assert conf["spark.sql.catalog.wormpy"] == (
+        "org.apache.iceberg.spark.SparkCatalog"
+    )
+    assert conf["spark.sql.catalog.wormpy.type"] == "hadoop"
+    assert conf["spark.sql.catalog.wormpy.warehouse"] == "/tmp/wh"
+    assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+
+    # a live session accepts the catalog keys at runtime (the swap is
+    # config-only — no engine code changes)
+    for k, v in iceberg_conf(catalog="wormpy_test").items():
+        if k == "spark.sql.extensions":
+            continue  # builder-time-only key
+        spark.conf.set(k, v)
+        assert spark.conf.get(k) == v
+
+    # no jar in this environment -> the shim is selected
+    assert iceberg_available(spark) is False
+    assert select_catalog_backend(spark) == "shim"

@@ -307,7 +307,11 @@ def pdf_info(body: bytes) -> dict[str, str]:
         + rb"\s+obj\s*<<(.*?)>>",
         re.DOTALL,
     )
-    om = obj_re.search(body)
+    om = None
+    for om in obj_re.finditer(body):
+        pass  # last object body wins too: an incrementally-updated PDF
+        # appends the newer object and the appended copy supersedes the
+        # original per the (unparsed) xref — mirror last-trailer-wins
     if om is None:
         return {}
     out: dict[str, str] = {}

@@ -60,6 +60,7 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 25,
     driver_max_edges: int = 2_000_000,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """(a, b) undirected pair list → (id, cluster_id) for every node
     that appears in at least one pair; cluster_id = min node id in the
@@ -76,7 +77,17 @@ def connected_components(
     - ``distributed path``: iterative min-label propagation, one
       join + map-side-combinable groupBy-min + one aggregation action
       per round, O(diameter) rounds. ``driver_max_edges=0`` forces it
-      (tests; adversarially huge pair lists)."""
+      (tests; adversarially huge pair lists).
+
+    ``reliable_checkpoints``: per-round lineage truncation uses
+    ``localCheckpoint`` by default — right for local mode and healthy
+    clusters, but its RDD blocks die with an executor and unpersist()
+    frees only cache-manager entries (old blocks linger until JVM GC
+    drops the RDD references — acceptable for bounded-round runs). Set
+    True on a long fault-tolerant cluster run to use reliable
+    ``checkpoint()`` instead; requires
+    ``spark.sparkContext.setCheckpointDir(...)`` to a distributed
+    path first."""
     spark = pairs.sparkSession
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
@@ -129,12 +140,16 @@ def connected_components(
         # lineage each round, keeping the plan O(1) deep. (A
         # fault-tolerant cluster run would use reliable checkpoint();
         # local is right for this sandbox and any healthy cluster.)
-        new_labels = (
+        merged = (
             labels.unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .repartition(n_part, "id")
-            .localCheckpoint(eager=False)
+        )
+        new_labels = (
+            merged.checkpoint(eager=False)
+            if reliable_checkpoints
+            else merged.localCheckpoint(eager=False)
         )
         row = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")

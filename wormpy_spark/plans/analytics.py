@@ -764,11 +764,13 @@ SELECT query_id, vec_id, score, rk FROM s WHERE rk <= 10
 # counts, non-vacuous via the planted cross-source near-dups.
 DECON_SPARK = """
 WITH t AS (
-  SELECT doc_id, source, split(trim(lower(text)), '\\\\s+') AS w FROM documents),
+  SELECT doc_id, source, w FROM (
+    SELECT doc_id, source, split(trim(lower(text)), '\\\\s+') AS w
+    FROM documents)
+  WHERE size(w) >= 8),
 g AS (
   SELECT doc_id, source, concat_ws(' ', slice(w, i, 8)) AS gram
-  FROM t LATERAL VIEW explode(sequence(1, size(w) - 7)) AS i
-  WHERE size(w) >= 8),
+  FROM t LATERAL VIEW explode(sequence(1, greatest(size(w) - 7, 1))) AS i),
 e AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
 SELECT g.doc_id AS doc_id, count(DISTINCT g.gram) AS n_shared_8grams
 FROM g JOIN e ON g.gram = e.gram
@@ -826,11 +828,12 @@ WHERE rn <= (n + 9) // 10
 # lifting at scale.
 REPETITION_SPARK = """
 WITH t AS (
-  SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS w FROM documents),
+  SELECT doc_id, w FROM (
+    SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS w FROM documents)
+  WHERE size(w) >= 2),
 g AS (
   SELECT doc_id, concat(element_at(w, i), ' ', element_at(w, i + 1)) AS gram
-  FROM t LATERAL VIEW explode(sequence(1, size(w) - 1)) AS i
-  WHERE size(w) >= 2)
+  FROM t LATERAL VIEW explode(sequence(1, greatest(size(w) - 1, 1))) AS i)
 SELECT doc_id,
        count(*) AS n_2grams,
        count(DISTINCT gram) AS n_distinct_2grams,

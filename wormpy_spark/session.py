@@ -14,11 +14,54 @@ import os
 from pyspark.sql import SparkSession
 
 
+def iceberg_conf(
+    catalog: str = "wormpy", warehouse: str | None = None
+) -> dict[str, str]:
+    """The standard (public, documented) Iceberg-on-Spark wiring: a
+    SparkCatalog entry + the runtime's SQL extensions. This is the
+    config-only swap SURVEY §7.5-4 describes — when
+    ``iceberg-spark-runtime`` is on the classpath these settings make
+    ``spark.table(f"{catalog}.db.t")`` a real Iceberg catalog; without
+    the jar the session still builds and the engine selects the
+    parquet+manifest shim (sources/catalog.py). Exercised by
+    tests/test_catalog.py::test_iceberg_config_contract."""
+    conf = {
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": "hadoop",
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+    }
+    if warehouse is not None:
+        conf[f"spark.sql.catalog.{catalog}.warehouse"] = warehouse
+    return conf
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the iceberg-spark-runtime jar is actually on the JVM
+    classpath (the shim stays in charge otherwise)."""
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def select_catalog_backend(spark: SparkSession) -> str:
+    """'iceberg' when the runtime jar is present, else 'shim' — the
+    documented swap path, as a function instead of prose."""
+    return "iceberg" if iceberg_available(spark) else "shim"
+
+
 def get_spark(
     app_name: str = "wormpy_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    iceberg: bool = False,
+    iceberg_warehouse: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's standard conf.
 
@@ -61,6 +104,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if iceberg:
+        for k, v in iceberg_conf(warehouse=iceberg_warehouse).items():
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
