@@ -19,8 +19,8 @@ the remaining budget, so a clean rc=0 line is the common case.
 Phase order (most-valuable-first, so early termination costs the least
 important data):
   1. headline query sweep (min-of-2 per query, degrades to 1 run late)
-  2. base-scale crawl pair  (local[1] + local[4] — the N -> 4N
-     single-core-executor criterion, trial 1)
+  2. base-scale crawl pair  (local[2] + local[8] — the N -> 4N
+     criterion at N=2, trial 1)
   3. 3x-scale crawl pair    (local[2] + local[8], trial 1 — the
      weak-scaling trend row)
   4. 3x-scale trial 2       (min-of-2 denoises hypervisor steal)
@@ -48,17 +48,15 @@ T_START = time.time()
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# Scaling levels: N vs 4N single-core executors. The deployment story
-# (spark-submit --py-files, BASELINE.json) multiplies EXECUTORS, and a
-# 1-core executor (spark.executor.cores=1) is the standard production
-# unit — local[k] pinned to k cores emulates k such executors. The
-# base pair is therefore 1 → 4 executors; N=1 is also the cleanest
-# strong-scaling baseline (no intra-level parallel overhead in the
-# denominator). The full pinned curve (1/2/4/8/16) and all observed
-# walls are disclosed in BENCH/BASELINE.md; the 3x-scale row uses
-# 2 → 8 purely for wall-clock cost (a 3x local[1] run is ~21 min).
-CPUS_BIG = int(os.environ.get("SPARK_GRAFT_BENCH_BIG", "4"))
-CPUS_SMALL = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL", "1"))
+# Scaling levels: N vs 4N. Both rows use the 2 -> 8 core pair — the
+# HARSHER framing (round-4 verdict): the small level already has
+# intra-level parallel overhead in its denominator, so nothing about
+# the ratio leans on a serial baseline. local[k] pinned to k cores
+# emulates k single-core executors (spark.executor.cores=1, the
+# standard production unit). The full pinned curve (1/2/4/8/16) and
+# all observed walls are disclosed in BENCH/BASELINE.md.
+CPUS_BIG = int(os.environ.get("SPARK_GRAFT_BENCH_BIG", "8"))
+CPUS_SMALL = int(os.environ.get("SPARK_GRAFT_BENCH_SMALL", "2"))
 S2_BIG = int(os.environ.get("SPARK_GRAFT_BENCH_S2_BIG", "8"))
 S2_SMALL = int(os.environ.get("SPARK_GRAFT_BENCH_S2_SMALL", "2"))
 CRAWL_BUDGET = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "450000"))

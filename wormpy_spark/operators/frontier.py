@@ -52,6 +52,13 @@ FRONTIER_SCHEMA = (
     "url_norm string"
 )
 
+# v2: admission-derived columns ride the frontier file so no round ever
+# re-derives them — host (a pandas-UDF urlparse pass over the engine's
+# biggest row stream), url_hash, host_shard are computed exactly once,
+# at admission. Readers stay compatible with v1 files (seeds, old
+# checkpoints): the crawl loop backfills the columns when absent.
+FRONTIER_SCHEMA_V2 = FRONTIER_SCHEMA + ", host string, url_hash long, host_shard int"
+
 
 def assign_global_seq(
     df: DataFrame,

@@ -60,6 +60,7 @@ from ..operators.fetch import (
 )
 from ..operators.frontier import (
     FRONTIER_SCHEMA,
+    FRONTIER_SCHEMA_V2,
     PRIORITY_COLS,
     assign_global_seq,
     dedup_within_round,
@@ -335,6 +336,14 @@ def run_crawl(
     # may repeat in the sitemap list) and resumed frontiers (writer
     # config unknown) keep the dedup.
     frontier_deduped = False
+    # True when the current frontier's ADMISSION already anti-joined
+    # every row against the complete seen set at write time (expansion
+    # with the fresh-at-admission bloom + exact suspects join, or
+    # fastround's driver seen_set) — the loop's J1 re-check (a bloom
+    # UDF pass + exact anti-join over the whole frontier, the biggest
+    # fixed cost of a big round's seq phase) is then an identity and is
+    # skipped. Seeds and resumed frontiers keep it.
+    frontier_admission_exact = False
 
     r = start_round
     while r < config.max_rounds and processed < budget:
@@ -358,7 +367,9 @@ def run_crawl(
             pages_r_path = catalog.table_path("pages", r)
             write_pages_parquet(pages_r_path, fr.pages)
             frontier_path = catalog.table_path("frontier", r)
-            write_frontier_parquet(frontier_path, fr.frontier_next)
+            write_frontier_parquet(
+                frontier_path, fr.frontier_next, config.n_host_shards
+            )
             pages_rounds.append(r)
             processed += fr.due_count
             parent_bounds = (processed - fr.due_count, processed)
@@ -397,31 +408,48 @@ def run_crawl(
                 # from the snapshots just written
                 frontier_rows = None
                 seen_set = None
-                frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(frontier_path)
+                frontier = spark.read.parquet(frontier_path)
                 # fastround's frontier_next is globally first-wins
                 # dedup'd (best-dict, fastround.py) unless deferral
-                # rows were unioned in
+                # rows were unioned in; its admission is exact (driver
+                # seen_set membership)
                 frontier_deduped = config.max_per_host_per_round is None
+                frontier_admission_exact = True
                 seen = seen_from_pages(pages_rounds)
             r += 1
             continue
         frontier_rows = None
         seen_set = None
         # url_norm is carried by the frontier (seeds canonicalized at
-        # seeding, expansions at discovery) — no per-round UDF pass
-        f = (
-            frontier.withColumn("host", host_udf(F.col("url_norm")))
-            .withColumn("url_hash", F.xxhash64(F.col("url_norm")))
-        )
-        f = f.withColumn(
-            "host_shard",
-            F.pmod(F.xxhash64(F.col("host")), F.lit(config.n_host_shards)).cast("int"),
-        )
+        # seeding, expansions at discovery), and v2 frontiers also
+        # carry (host, url_hash, host_shard) from admission — no
+        # per-round UDF/hash re-derivation. v1 frontiers (seeds, old
+        # checkpoints) are backfilled here.
+        if "host" in frontier.columns:
+            f = frontier
+        else:
+            f = (
+                frontier.withColumn("host", host_udf(F.col("url_norm")))
+                .withColumn("url_hash", F.xxhash64(F.col("url_norm")))
+                .withColumn(
+                    "host_shard",
+                    F.pmod(
+                        F.xxhash64(F.col("host")), F.lit(config.n_host_shards)
+                    ).cast("int"),
+                )
+            )
         in_scope = f.filter(F.col("url_norm").startswith(base))  # P4
-        not_seen = anti_join_seen(  # J1
-            in_scope, seen, bloom_bc,
-            seen_count=processed, broadcast_below=config.bloom_min_seen,
-        )
+        if frontier_admission_exact:
+            # J1 already applied exactly at admission (fresh bloom +
+            # exact suspects join, or fastround's driver set) and seen
+            # only grows by rows FETCHED since — which are disjoint
+            # from this frontier by construction
+            not_seen = in_scope
+        else:
+            not_seen = anti_join_seen(  # J1
+                in_scope, seen, bloom_bc,
+                seen_count=processed, broadcast_below=config.bloom_min_seen,
+            )
         deduped = (                                               # J2 equiv.
             not_seen if frontier_deduped else dedup_within_round(not_seen)
         )
@@ -463,7 +491,7 @@ def run_crawl(
             deferred = (
                 ranked.filter(F.col("_hr") > config.max_per_host_per_round)
                 .select("url", "round_enqueued", "parent_seq", "sibling_rank",
-                        "url_norm")
+                        "url_norm", "host", "url_hash", "host_shard")
             )
             eligible = ranked.filter(
                 F.col("_hr") <= config.max_per_host_per_round
@@ -548,41 +576,27 @@ def run_crawl(
         seen = seen_from_pages(pages_rounds)
         processed_next = processed + due_count
 
-        # bloom sidecar (covering seen through round r) builds in a
-        # side thread, OVERLAPPED with the expansion job; the next
-        # round's frontier filter joins on it. The expansion admission
-        # below may still see the round-(r-1) bitmap — safe: a bloom
-        # false-"definitely-unseen" only admits a duplicate to the
-        # frontier, and round r+1's filter re-checks every frontier row
-        # against the FRESH bitmap + exact anti-join before fetching
-        # (false positives already routed to the exact join). The bloom
-        # is never the authority, only the pre-filter.
-        bloom_thread = None
-        bloom_out: dict = {}
+        # bloom sidecar (covering seen through round r) builds BEFORE
+        # the expansion admission, so admission sees a FRESH bitmap and
+        # (bloom prefilter + exact suspects anti-join) is EXACT wrt
+        # seen-through-r. That exactness is what lets the NEXT round
+        # skip re-checking its whole frontier against seen (the
+        # admission-exact fast path above) — the biggest fixed cost of
+        # a big round's seq phase. (The former side-thread overlap
+        # saved ~1s/round of bloom-build wall but handed admission a
+        # stale bitmap, whose repair — a full-frontier re-check next
+        # round — cost far more at scale.)
         if config.use_bloom and processed_next >= config.bloom_min_seen:
-            import threading
-
-            seen_r, expect = seen, processed_next
-
-            def _build_bloom():
-                # capture failures: a swallowed Spark error here would
-                # surface later as an opaque KeyError on bloom_out["bc"]
-                try:
-                    bloom_out["bc"] = spark.sparkContext.broadcast(
-                        build_bloom_shards(
-                            seen_r,
-                            "url_hash",
-                            "host_shard",
-                            expected_per_shard=max(
-                                expect * 4 // config.n_host_shards, 1024
-                            ),
-                        )
-                    )
-                except BaseException as e:  # re-raised after join()
-                    bloom_out["err"] = e
-
-            bloom_thread = threading.Thread(target=_build_bloom, daemon=True)
-            bloom_thread.start()
+            bloom_bc = spark.sparkContext.broadcast(
+                build_bloom_shards(
+                    seen,
+                    "url_hash",
+                    "host_shard",
+                    expected_per_shard=max(
+                        processed_next * 4 // config.n_host_shards, 1024
+                    ),
+                )
+            )
         t_bloom = time.time()
 
         # expansions → next frontier (J2/J4/O4). Candidates are deduped
@@ -596,12 +610,15 @@ def run_crawl(
         if config.discovery:
             cand = expand_frontier(pages_r, base, next_round=r + 1)
             cand = dedup_within_round(cand)
+            # derive (host, url_hash, host_shard) ONCE — they ride the
+            # v2 frontier file so no later round recomputes them
             cand = (
-                cand.withColumn("url_hash", F.xxhash64(F.col("url_norm")))
+                cand.withColumn("host", host_udf(F.col("url_norm")))
+                .withColumn("url_hash", F.xxhash64(F.col("url_norm")))
                 .withColumn(
                     "host_shard",
                     F.pmod(
-                        F.xxhash64(host_udf(F.col("url_norm"))),
+                        F.xxhash64(F.col("host")),
                         F.lit(config.n_host_shards),
                     ).cast("int"),
                 )
@@ -609,26 +626,26 @@ def run_crawl(
             admitted = anti_join_seen(
                 cand, seen, bloom_bc,
                 seen_count=processed_next, broadcast_below=config.bloom_min_seen,
-            ).drop("url_hash", "host_shard")
+            )
             frontier_next = admitted.select(
-                "url", "round_enqueued", "parent_seq", "sibling_rank", "url_norm"
+                "url", "round_enqueued", "parent_seq", "sibling_rank",
+                "url_norm", "host", "url_hash", "host_shard"
             )
         else:
-            frontier_next = _empty(spark, FRONTIER_SCHEMA)
+            frontier_next = _empty(spark, FRONTIER_SCHEMA_V2)
         if deferred is not None:
             # deferred rows keep their original priority, so they sort
             # ahead of this round's expansions next round
             frontier_next = deferred.unionByName(frontier_next)
         frontier_path = catalog.write_table("frontier", r, frontier_next)
-        frontier = spark.read.schema(FRONTIER_SCHEMA).parquet(frontier_path)
+        frontier = spark.read.parquet(frontier_path)
         # admitted is dedup_within_round output; deferral union may
         # reintroduce a URL the expansion also discovered
         frontier_deduped = config.max_per_host_per_round is None
-        if bloom_thread is not None:
-            bloom_thread.join()
-            if "err" in bloom_out:
-                raise bloom_out["err"]
-            bloom_bc = bloom_out["bc"]
+        # admission above used the FRESH bloom + exact suspects join
+        # (or the exact broadcast path below bloom_min_seen): next
+        # round's J1 re-check is an identity
+        frontier_admission_exact = True
         seq_cache.unpersist()
         pages_r.unpersist()
         t_expand = time.time()

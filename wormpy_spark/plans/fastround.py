@@ -75,6 +75,12 @@ FRONTIER_ARROW_SCHEMA = pa.schema(
         ("parent_seq", pa.int64()),
         ("sibling_rank", pa.int32()),
         ("url_norm", pa.string()),
+        # FRONTIER_SCHEMA_V2 admission-derived columns (see
+        # operators/frontier.py) — python-side xxhash64_str is
+        # parity-tested against F.xxhash64
+        ("host", pa.string()),
+        ("url_hash", pa.int64()),
+        ("host_shard", pa.int32()),
     ]
 )
 
@@ -92,10 +98,22 @@ def write_pages_parquet(path: str, rows: list[dict]) -> None:
     pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
 
-def write_frontier_parquet(path: str, rows: list[tuple]) -> None:
-    """rows: (url, round_enqueued, parent_seq, sibling_rank, url_norm)."""
+def write_frontier_parquet(
+    path: str, rows: list[tuple], n_host_shards: int = 64
+) -> None:
+    """rows: (url, round_enqueued, parent_seq, sibling_rank, url_norm);
+    the v2 derived columns (host, url_hash, host_shard) are computed
+    here so the Spark loop never re-derives them."""
     os.makedirs(path, exist_ok=True)
-    cols = {name: [r[i] for r in rows] for i, name in enumerate(FRONTIER_ARROW_SCHEMA.names)}
+    hosts = [get_domain(r[4]) for r in rows]
+    cols: dict[str, list] = {
+        name: [r[i] for r in rows] for i, name in enumerate(
+            ("url", "round_enqueued", "parent_seq", "sibling_rank", "url_norm")
+        )
+    }
+    cols["host"] = hosts
+    cols["url_hash"] = [xxhash64_str(r[4]) for r in rows]
+    cols["host_shard"] = [pmod(xxhash64_str(h), n_host_shards) for h in hosts]
     table = pa.Table.from_pydict(cols, schema=FRONTIER_ARROW_SCHEMA)
     pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
