@@ -357,7 +357,12 @@ def main() -> None:
             if key == "scaling_at_3x_pages":
                 compact[key]["pages_factor"] = SCALE2
         line = json.dumps(compact)
-        assert len(line) < 1000, f"compact bench line too long: {len(line)}"
+        if len(line) >= 1000:
+            # never crash the emit: a short line the driver can parse
+            # beats a perfect line it cannot capture
+            line = json.dumps(
+                {k: compact[k] for k in ("metric", "value", "unit", "sf")}
+            )
         print(line, flush=True)
 
     # ---- phase 1: headline query sweep -------------------------------
@@ -415,14 +420,15 @@ def main() -> None:
 
     # ---- phase 3: 3x-scale pair, trial 1 -----------------------------
     # the 3x row evidences the weak-scaling TREND (efficiency rises as
-    # per-round data grows); it uses the 2->8 pair because a 3x-scale
-    # local[1] trial costs ~21 minutes. Gate on a REAL cost estimate —
-    # ~1.6x the measured base-pair wall (3x data on 2x the cores, plus
-    # possible corpus generation) — not a constant: round 4 started this
-    # phase with 120 s of nominal headroom and legally overran DEADLINE
-    # by 11 minutes.
+    # per-round data grows); it uses the same 2->8 pair as the base row
+    # because a 3x-scale local[1] trial costs ~21 minutes. Gate on a
+    # REAL cost estimate — SCALE2x the measured base-pair wall scaled by
+    # the core-count ratio, plus corpus-generation slack — not a
+    # constant: round 4 started this phase with 120 s of nominal
+    # headroom and legally overran DEADLINE by 11 minutes.
     s2_pair_cost = 0.0
-    s2_est = 1.6 * base_pair_cost + 120.0
+    core_ratio = (CPUS_SMALL / S2_SMALL + CPUS_BIG / S2_BIG) / 2.0
+    s2_est = 1.1 * SCALE2 * core_ratio * base_pair_cost + 120.0
     if SCALE2 > 1 and base_pair_cost and remaining() > s2_est:
         ensure_corpus(SCALE2_CORPUS, BENCH_PAGES * SCALE2)
         for cpus in (S2_SMALL, S2_BIG):

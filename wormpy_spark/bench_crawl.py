@@ -165,6 +165,10 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
         cfg.bloom_min_seen = int(os.environ["SPARK_GRAFT_BLOOM_MIN"])
     res = run_crawl(spark, web, cfg)
     n_pages = res.processed  # exact by construction; no extra scan
+    import sys
+
+    t_crawl = time.time()
+    print(f"[bench_crawl] crawl_s={t_crawl - t0:.2f}", file=sys.stderr)
 
     # payload verification of fetched images (input_hint per-row invariant)
     fetched_images = res.pages.filter(F.col("image_id").isNotNull()).select(
@@ -181,7 +185,10 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
         ).alias("bad"),
     ).collect()[0]
     n_verified, n_bad = int(agg["n"]), int(agg["bad"] or 0)
+    t_ver = time.time()
+    print(f"[bench_crawl] verify_s={t_ver - t_crawl:.2f}", file=sys.stderr)
     n_neardup = phash_neardup_pairs(ver.filter(F.col("phash").isNotNull())).count()
+    print(f"[bench_crawl] neardup_s={time.time() - t_ver:.2f}", file=sys.stderr)
     wall = time.time() - t0
     skew_ratio = _skew_ratio(spark, stage_fence)  # after the clock: diagnostics
 
