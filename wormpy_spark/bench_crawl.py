@@ -174,7 +174,12 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
     fetched_images = res.pages.filter(F.col("image_id").isNotNull()).select(
         "image_id"
     )
-    img_subset = images.join(fetched_images, on="image_id", how="left_semi")
+    # the fetched-id set is tiny (hundreds of ids from a multi-million
+    # row pages scan): broadcast it so neither the images table nor the
+    # scan output is exchanged
+    img_subset = images.join(
+        F.broadcast(fetched_images), on="image_id", how="left_semi"
+    )
     ver = decode_verify(img_subset, truth).cache()
     # one aggregation job yields both counts (and materializes the
     # cache); the neardup pair join is the only other action
