@@ -193,6 +193,32 @@ def test_connected_components_nonconvergence_raises(spark):
     assert ok == {i: 100 for i in range(100, 131)}
 
 
+def test_connected_components_reliable_checkpoint_parity(spark):
+    """reliable_checkpoints=True swaps localCheckpoint for the
+    fault-tolerant checkpoint() (ADVICE r4: local-checkpoint blocks die
+    with the executor and linger until GC). Same labels, same contract;
+    needs a checkpoint dir on the context."""
+    import tempfile
+
+    from wormpy_spark.operators.components import connected_components
+
+    prev = spark.sparkContext._jsc.sc().getCheckpointDir()
+    with tempfile.TemporaryDirectory(prefix="wormpy_ckpt_") as d:
+        spark.sparkContext.setCheckpointDir(d)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+        )
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(
+                pairs, driver_max_edges=0, reliable_checkpoints=True
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+        if prev.isDefined():
+            spark.sparkContext.setCheckpointDir(prev.get())
+
+
 def test_asof_join_backward(spark):
     """merge_asof semantics: largest right_time <= left_time per key
     (inclusive), null when nothing at-or-before, keys never bleed."""
