@@ -144,3 +144,45 @@ def pagerank_duck_sql(iterations: int = 3) -> str:
         f" FROM r{iterations}, nn"
     )
     return "\n".join(sql)
+
+
+def degree_stats(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """In-degree distribution of the pseudo-link graph: (in_degree,
+    n_nodes), zero-in-degree nodes included via the left join back to
+    the node table. Out-degree is FANOUT by construction, so in-degree
+    is the only informative marginal — the quadratic map makes it
+    lumpy (collisions), which is exactly what a crawl-graph health
+    check looks for (dangling mass, super-collectors).
+
+    100-TB posture: one shuffle to count per dst (map-side combined),
+    one join on the node key, one tiny re-aggregation — no windows,
+    no driver state; AQE splits any super-collector's reduce task.
+    """
+    n = docs.count()
+    nodes = docs.select("doc_id")
+    edges = _edges(nodes, n)
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("d"))
+    return (
+        nodes.join(indeg, nodes.doc_id == indeg.dst, "left")
+        .select(F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("in_degree"))
+        .groupBy("in_degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+
+
+def degree_stats_duck_sql() -> str:
+    """DuckDB oracle for ``degree_stats`` — identical edge CTE."""
+    edge_union = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id AS src, (doc_id * doc_id + {c}) % nn.n AS dst"
+        f" FROM documents, nn"
+        for c in EDGE_CONSTS
+    )
+    return (
+        "WITH nn AS (SELECT count(*) AS n FROM documents),\n"
+        "e AS (\n" + edge_union + "\n),\n"
+        "ind AS (SELECT dst, count(*)::BIGINT AS d FROM e GROUP BY dst)\n"
+        "SELECT coalesce(ind.d, 0)::BIGINT AS in_degree,\n"
+        "       count(*)::BIGINT AS n_nodes\n"
+        "FROM documents LEFT JOIN ind ON documents.doc_id = ind.dst\n"
+        "GROUP BY 1"
+    )

@@ -956,6 +956,80 @@ FROM a GROUP BY cw, week_k
 """
 
 
+# per-user 7-day rolling sum — the RANGE-frame window surface (a
+# time-bounded frame, not a row-count frame: each row's frame is that
+# user's events in [ts-7d, ts], however many rows that is). Order key
+# is epoch seconds (session TZ pinned UTC, so unix_timestamp ≡ duck
+# epoch); values enter the sum as floor(value*1000) BIGINT milliunits
+# so the aggregate is an order-independent integer — a double sum's
+# association order differs between Spark's running-frame evaluator
+# and DuckDB's segment tree and would break the value hash. Ties in
+# ts share one frame by RANGE semantics, so per-row output is
+# deterministic even with duplicate timestamps. At 100 TB this is one
+# exchange on user_id; the frame evaluator is streaming per key.
+ROLL7D_SPARK = """
+WITH e AS (
+  SELECT event_id, user_id, unix_timestamp(ts) AS tsec,
+         CAST(floor(value * 1000) AS BIGINT) AS vmil
+  FROM events)
+SELECT event_id, user_id,
+       CAST(sum(vmil) OVER (
+         PARTITION BY user_id ORDER BY tsec
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS roll_7d_milli
+FROM e
+"""
+ROLL7D_DUCK = """
+WITH e AS (
+  SELECT event_id, user_id, epoch(ts)::BIGINT AS tsec,
+         floor(value * 1000)::BIGINT AS vmil
+  FROM events)
+SELECT event_id, user_id,
+       sum(vmil) OVER (
+         PARTITION BY user_id ORDER BY tsec
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)::BIGINT
+         AS roll_7d_milli
+FROM e
+"""
+
+
+# top-5 bigrams per language by frequency — the corpus-exploration
+# companion to text_bigram_lift: group-wise top-k over an exploded
+# n-gram stream (count DESC, then lexicographic tie-break so the
+# cut is total-ordered). One shuffle to count, one window pass; at
+# 100 TB the count is map-side combinable and the window partitions
+# are per (lang), each a few hundred thousand distinct grams.
+NGRAM_TOPK_SPARK = """
+WITH words AS (
+  SELECT lang, split(trim(lower(text)), '\\\\s+') AS w FROM documents),
+big AS (
+  SELECT lang, concat_ws(' ', element_at(w, i), element_at(w, i + 1)) AS gram
+  FROM words LATERAL VIEW explode(sequence(1, size(w) - 1)) AS i
+  WHERE size(w) >= 2),
+cnt AS (SELECT lang, gram, count(*) AS n FROM big GROUP BY lang, gram),
+rk AS (
+  SELECT lang, gram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rk
+  FROM cnt)
+SELECT lang, gram, n, CAST(rk AS BIGINT) AS rk FROM rk WHERE rk <= 5
+"""
+NGRAM_TOPK_DUCK = """
+WITH words AS (
+  SELECT lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+big AS (
+  SELECT lang, w[i] || ' ' || w[i + 1] AS gram
+  FROM words, unnest(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2),
+cnt AS (SELECT lang, gram, count(*) AS n FROM big GROUP BY lang, gram),
+rk AS (
+  SELECT lang, gram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS rk
+  FROM cnt)
+SELECT lang, gram, n, CAST(rk AS BIGINT) AS rk FROM rk WHERE rk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry: name → (spark_fn, duckdb_oracle_sql or None)
 # ---------------------------------------------------------------------------
@@ -985,6 +1059,8 @@ REGISTRY: dict[str, tuple] = {
     "events_value_quantiles": (_sql(QUANTILES_SPARK), QUANTILES_DUCK),
     "events_funnel": (_sql(FUNNEL_SPARK), FUNNEL_DUCK),
     "events_retention_cohort": (_sql(COHORT_SPARK), COHORT_DUCK),
+    "events_rolling_7d": (_sql(ROLL7D_SPARK), ROLL7D_DUCK),
+    "text_ngram_topk": (_sql(NGRAM_TOPK_SPARK), NGRAM_TOPK_DUCK),
     "events_distinct_users_salted": (
         _sql(SALTED_DISTINCT_SPARK),
         SALTED_DISTINCT_DUCK,
