@@ -86,6 +86,7 @@ HEADLINE = [
     "events_funnel",
     "events_asof_order",
     "events_retention_cohort",
+    "events_rolling_7d",
     "dedup_minhash_lsh",
     "dedup_cluster_assign",
     "dedup_minhash_incremental",
@@ -93,6 +94,9 @@ HEADLINE = [
     "text_fingerprint",
     "text_tfidf_topk",
     "text_bigram_lift",
+    "text_ngram_topk",
+    "link_pagerank",
+    "link_degree_stats",
     "dataset_split_assign",
     "dataset_pack_sequences",
     "dataset_decontaminate",
