@@ -93,6 +93,141 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """
 
+# Q6-style forecast revenue: the canonical scan-dominant query — every
+# predicate must reach the parquet reader (PushedFilters on shipdate /
+# discount / quantity), zero joins, one partial+final agg.
+Q6_SQL = """
+SELECT CAST(floor((CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                                 AS BIGINT)) AS DOUBLE) + 50) / 100.0)
+            AS DOUBLE) / 100.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= timestamp'1996-01-01'
+  AND l_shipdate <  timestamp'1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# Q4-style order-priority count: correlated EXISTS (Catalyst rewrites
+# it to a left-semi join on l_orderkey with the date filter pushed to
+# both sides).
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= timestamp'1996-07-01'
+  AND o.o_orderdate <  timestamp'1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+# Q10-style returned-item ranking: selective fact filter, 4-way join,
+# revenue top-k. nation is broadcast; customer⋈orders⋈lineitem shuffle
+# on the key columns only (ReadSchema pruned to the 9 used columns).
+Q10_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(floor((CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                       * 10000) AS BIGINT)) AS DOUBLE) + 50)
+                  / 100.0) AS DOUBLE) / 100.0 AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o   ON c.c_custkey  = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= timestamp'1996-01-01'
+  AND o.o_orderdate <  timestamp'1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# Q14-style promo effect: conditional aggregation over a fact⋈dim join
+# (part is the small side → broadcast). Single-row result; ratio
+# rounded to 4 dp for cross-engine float stability.
+Q14_SQL = """
+SELECT round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                                   THEN CAST(round(l.l_extendedprice
+                                                   * (1 - l.l_discount) * 10000)
+                                             AS BIGINT)
+                                   ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                             AS BIGINT)) AS DOUBLE), 4)
+       AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= timestamp'1996-09-01'
+  AND l.l_shipdate <  timestamp'1996-10-01'
+"""
+
+# Q16-style supplier variety: COUNT(DISTINCT) per group after a
+# dim-filtered join — the distinct expands to a two-level aggregate
+# (partial distinct per partition, then final), no row explosion.
+Q16_SQL = """
+SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size IN (1, 14, 23, 45) AND p.p_type <> 'ECONOMY'
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+LIMIT 20
+"""
+
+# Q18-style large-volume orders: HAVING over a grouped fact, then the
+# group keys join back to the dims. qty kept as round(...,2) — Spark
+# CAST(double AS BIGINT) truncates while DuckDB rounds, so an integer
+# cast here would be a cross-engine trap.
+Q18_SQL = """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+       round(CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey  = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+HAVING sum(CAST(round(l.l_quantity * 100) AS BIGINT)) > 15000
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+"""
+
+# Q22-style idle high-balance customers: scalar subquery threshold
+# (rounded to 2 dp so the float boundary is engine-exact) + NOT EXISTS
+# anti join on RECENT orders (an unconditional "no orders ever" is
+# vacuous on this corpus — every high-balance customer has ordered),
+# per-nation rollup.
+Q22_SQL = """
+SELECT c.c_nationkey,
+       count(*) AS numcust,
+       round(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
+                     WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= timestamp'1999-01-01')
+GROUP BY c.c_nationkey
+"""
+
+# Orders status×priority matrix via real PIVOT syntax on the Spark
+# side; the DuckDB oracle states the same contract as conditional
+# aggregation (PIVOT is sugar for it — proving the equivalence IS the
+# test).
+PIVOT_SPARK = """
+SELECT o_orderpriority,
+       coalesce(n_f, 0) AS n_f,
+       coalesce(n_o, 0) AS n_o,
+       coalesce(n_p, 0) AS n_p
+FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+PIVOT (count(o_orderstatus) FOR o_orderstatus IN ('F' AS n_f, 'O' AS n_o, 'P' AS n_p))
+"""
+PIVOT_DUCK = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
 # J1 analogue: LEFT ANTI — orders whose customer has no high balance
 ANTI_SQL_SPARK = """
 SELECT o.o_orderkey, o.o_custkey
@@ -1030,6 +1165,80 @@ SELECT lang, gram, n, CAST(rk AS BIGINT) AS rk FROM rk WHERE rk <= 5
 """
 
 
+# Training-mixture construction (LLaMA/Pile-style): per-source epoch
+# repeat factors materialized as (doc, epoch) training instances. The
+# explode is generator-side (no shuffle); at 100 TB the repeat factor
+# multiplies rows inside the scan stage and the downstream shuffle
+# partitions by doc_id as usual.
+MIXTURE_SPARK = """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN source IN ('src0', 'src1') THEN 3
+              WHEN source IN ('src2', 'src3') THEN 2
+              ELSE 1 END AS n_epochs
+  FROM documents)
+SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+FROM w LATERAL VIEW explode(sequence(1, n_epochs)) AS e
+"""
+MIXTURE_DUCK = """
+WITH w AS (
+  SELECT doc_id, source,
+         CASE WHEN source IN ('src0', 'src1') THEN 3
+              WHEN source IN ('src2', 'src3') THEN 2
+              ELSE 1 END AS n_epochs
+  FROM documents)
+SELECT doc_id, source, CAST(u.e AS BIGINT) AS epoch
+FROM w, unnest(range(1, n_epochs + 1)) AS u(e)
+"""
+
+# CCNet-style LM quality proxy: per-doc mean log corpus-frequency of
+# its bigrams (high = built from common corpus bigrams ≈ low
+# perplexity). Two passes over the exploded bigram stream: corpus
+# counts (map-side combinable), then a broadcast-friendly count join
+# back. avg(ln(count)) rounded to 4 dp for float parity.
+LM_SCORE_SPARK = """
+WITH t AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, split(trim(lower(text)), '\\\\s+') AS w FROM documents)
+  WHERE size(w) >= 2),
+big AS (
+  SELECT doc_id, concat(element_at(w, i), ' ', element_at(w, i + 1)) AS gram
+  FROM t LATERAL VIEW explode(sequence(1, greatest(size(w) - 1, 1))) AS i),
+cnt AS (SELECT gram, count(*) AS n FROM big GROUP BY gram)
+SELECT b.doc_id,
+       round(avg(ln(c.n)), 4) AS lm_score,
+       count(*) AS n_bigrams
+FROM big b JOIN cnt c ON b.gram = c.gram
+GROUP BY b.doc_id
+"""
+LM_SCORE_DUCK = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents),
+big AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS gram
+  FROM t, unnest(range(1, len(w))) AS u(i)
+  WHERE len(w) >= 2),
+cnt AS (SELECT gram, count(*) AS n FROM big GROUP BY gram)
+SELECT b.doc_id,
+       round(avg(ln(c.n)), 4) AS lm_score,
+       count(*) AS n_bigrams
+FROM big b JOIN cnt c ON b.gram = c.gram
+GROUP BY b.doc_id
+"""
+
+# Batch-shaping: per-source length-bucket histogram (the curriculum /
+# packing-efficiency view). floor() is double-typed in DuckDB and
+# bigint in Spark — cast both sides.
+LEN_BUCKETS_SPARK = """
+SELECT source,
+       CAST(least(floor(n_chars / 64.0), 8) AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents
+GROUP BY source, CAST(least(floor(n_chars / 64.0), 8) AS BIGINT)
+"""
+
 # ---------------------------------------------------------------------------
 # registry: name → (spark_fn, duckdb_oracle_sql or None)
 # ---------------------------------------------------------------------------
@@ -1038,6 +1247,14 @@ REGISTRY: dict[str, tuple] = {
     "q1_pricing_summary": (_sql(Q1_SPARK), Q1_SPARK),
     "q3_shipping_priority": (_sql(Q3_SQL), Q3_SQL),
     "q5_region_revenue": (_sql(Q5_SQL), Q5_SQL),
+    "q4_order_priority": (_sql(Q4_SQL), Q4_SQL),
+    "q6_forecast_revenue": (_sql(Q6_SQL), Q6_SQL),
+    "q10_returned_items": (_sql(Q10_SQL), Q10_SQL),
+    "q14_promo_effect": (_sql(Q14_SQL), Q14_SQL),
+    "q16_supplier_variety": (_sql(Q16_SQL), Q16_SQL),
+    "q18_large_orders": (_sql(Q18_SQL), Q18_SQL),
+    "q22_idle_customers": (_sql(Q22_SQL), Q22_SQL),
+    "pivot_order_status": (_sql(PIVOT_SPARK), PIVOT_DUCK),
     "anti_join_orders": (_sql(ANTI_SQL_SPARK), ANTI_SQL_DUCK),
     "semi_join_customers": (_sql(SEMI_SQL_SPARK), SEMI_SQL_DUCK),
     "dedup_first_wins": (_sql(DEDUP_FIRST_SQL), DEDUP_FIRST_SQL),
@@ -1070,6 +1287,9 @@ REGISTRY: dict[str, tuple] = {
     "dataset_decontaminate": (_sql(DECON_SPARK), DECON_DUCK),
     "dataset_sample_stratified": (_sql(STRAT_SAMPLE_SPARK), STRAT_SAMPLE_DUCK),
     "text_repetition_filter": (_sql(REPETITION_SPARK), REPETITION_DUCK),
+    "dataset_mixture_epochs": (_sql(MIXTURE_SPARK), MIXTURE_DUCK),
+    "text_lm_score_proxy": (_sql(LM_SCORE_SPARK), LM_SCORE_DUCK),
+    "dataset_length_buckets": (_sql(LEN_BUCKETS_SPARK), LEN_BUCKETS_SPARK),
     "dedup_embedding_cosine": (_sql(EMB_COSINE_SPARK), EMB_COSINE_DUCK),
     "ann_topk_bruteforce": (_sql(ANN_TOPK_SPARK), ANN_TOPK_DUCK),
 }
