@@ -83,6 +83,14 @@ def test_phash_neardup_spread_bits_exact_recall(spark):
     assert ("a0", "a3") not in got
     assert got == want
 
+    # bench_crawl's tiny-input driver path must count exactly the
+    # operator's pairs — including negative (sign-bit-set) phashes,
+    # which require the 64-bit XOR mask
+    from wormpy_spark.bench_crawl import neardup_count_driver
+
+    signed = [v - (1 << 64) if v >= 1 << 63 else v for v in phashes.values()]
+    assert neardup_count_driver(signed, max_hamming=6) == len(want)
+
 
 def test_anti_join_seen_bloom_branch_executes(spark):
     """With broadcast_below=0 + a sharded bloom sidecar, the bloom

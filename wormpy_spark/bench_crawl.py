@@ -86,6 +86,24 @@ def _skew_ratio(spark, min_stage_id: int = -1) -> float | None:
         return None
 
 
+_U64 = (1 << 64) - 1
+
+
+def neardup_count_driver(phashes: list[int], max_hamming: int = 6) -> int:
+    """Driver-side equivalent of ``phash_neardup_pairs(...).count()``
+    for tiny inputs: number of unordered pairs with hamming ≤
+    ``max_hamming``. Spark phashes are SIGNED int64 — mask the XOR to
+    64 bits before the popcount (Python's two's-complement-of-infinite
+    -width would otherwise miscount negative values)."""
+    vals = [p & _U64 for p in phashes]
+    return sum(
+        1
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+        if bin((vals[i] ^ vals[j]) & _U64).count("1") <= max_hamming
+    )
+
+
 def run(cpus: int, corpus_dir: str, budget: int) -> dict:
     from .operators.multimodal import decode_verify, phash_neardup_pairs
     from .plans.crawl import CrawlConfig, run_crawl
@@ -180,6 +198,13 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
     img_subset = images.join(
         F.broadcast(fetched_images), on="image_id", how="left_semi"
     )
+    # the images table is a single parquet file, so the semi-join
+    # output inherits ~2 input splits and the numpy decode stage runs
+    # on 2 cores regardless of level (measured: 5 s of the local[8]
+    # wall with 6 cores idle). Spread the few-hundred surviving rows
+    # across the fixed partition width — same plan at every level, and
+    # the decode stage becomes embarrassingly parallel.
+    img_subset = img_subset.repartition(fixed_partitions, "image_id")
     ver = decode_verify(img_subset, truth).cache()
     # one aggregation job yields both counts (and materializes the
     # cache); the neardup pair join is the only other action
@@ -192,7 +217,18 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
     n_verified, n_bad = int(agg["n"]), int(agg["bad"] or 0)
     t_ver = time.time()
     print(f"[bench_crawl] verify_s={t_ver - t_crawl:.2f}", file=sys.stderr)
-    n_neardup = phash_neardup_pairs(ver.filter(F.col("phash").isNotNull())).count()
+    with_phash = ver.filter(F.col("phash").isNotNull())
+    if n_verified <= 4096:
+        # tiny-input driver path (same design as plans/fastround.py):
+        # a few hundred phashes don't justify a band-explode self-join
+        # job's ~1 s scheduling floor at every parallelism level.
+        # Identical semantics — parity-tested against the operator in
+        # tests/test_dedup_ops.py.
+        n_neardup = neardup_count_driver(
+            [r["phash"] for r in with_phash.select("phash").collect()]
+        )
+    else:
+        n_neardup = phash_neardup_pairs(with_phash).count()
     print(f"[bench_crawl] neardup_s={time.time() - t_ver:.2f}", file=sys.stderr)
     wall = time.time() - t0
     skew_ratio = _skew_ratio(spark, stage_fence)  # after the clock: diagnostics
