@@ -207,6 +207,118 @@ WHERE c.c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
 GROUP BY c.c_nationkey
 """
 
+# Q7-style nation-pair volume: two roles of the same dim table in one
+# plan (supplier nation vs customer nation — nation is broadcast into
+# both probes), symmetric pair predicate, per-year rollup. year() is
+# INT in Spark and BIGINT in DuckDB — cast both sides.
+Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(floor((CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                       * 10000) AS BIGINT)) AS DOUBLE) + 50)
+                  / 100.0) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY sn.n_name, cn.n_name, CAST(year(l.l_shipdate) AS BIGINT)
+"""
+
+# Q8-style market share: of all revenue billed to ASIA customers,
+# the fraction supplied by NATION_1 suppliers, per year — CASE inside
+# one aggregate pass over a 6-way star join; ratio at 4 dp through
+# exact integer numerators.
+Q8_SQL = """
+SELECT CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+                           THEN CAST(round(l.l_extendedprice
+                                           * (1 - l.l_discount) * 10000)
+                                     AS BIGINT)
+                           ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                   * 10000) AS BIGINT)) AS DOUBLE), 4)
+         AS mkt_share
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey  = c.c_custkey
+JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region r   ON cn.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY CAST(year(l.l_shipdate) AS BIGINT)
+"""
+
+# Q13-style order-count distribution: LEFT OUTER join preserving
+# order-less customers, then a second aggregation OVER the first's
+# result (group on an aggregate) — two shuffles, both map-side
+# combinable.
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+"""
+
+# Q15-style top supplier: scalar MAX subquery over a shared CTE —
+# the revenue rollup is computed once, its max once, and the
+# tie-inclusive equality join picks the winner(s) deterministically.
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS total
+  FROM lineitem
+  WHERE l_shipdate >= timestamp'1996-01-01'
+    AND l_shipdate <  timestamp'1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name,
+       CAST(floor((CAST(r.total AS DOUBLE) + 50) / 100.0) AS DOUBLE)
+         / 100.0 AS total_rev
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total = (SELECT max(total) FROM rev)
+"""
+
+# Q17-style small-quantity revenue: per-part average joined back to
+# the fact — the "below 20% of that part's average quantity" predicate
+# stated in EXACT integers (5·centiqty·n < sum_centiqty), so no float
+# threshold can flip rows between engines.
+Q17_SQL = """
+WITH pa AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq,
+         count(*) AS n
+  FROM lineitem GROUP BY l_partkey)
+SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN pa    ON pa.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND CAST(round(l.l_quantity * 100) AS BIGINT) * pa.n * 5 < pa.sq
+"""
+
+# Q19-style OR-of-ANDs: three brand/size/quantity conjunction arms
+# OR'd — the classic disjunctive-pushdown test (Catalyst must still
+# push the common join key and prune columns under the OR).
+Q19_SQL = """
+SELECT CAST(floor((CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                       * 10000) AS BIGINT)) AS DOUBLE) + 50)
+                  / 100.0) AS DOUBLE) / 100.0 AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 21)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
 # Orders status×priority matrix via real PIVOT syntax on the Spark
 # side; the DuckDB oracle states the same contract as conditional
 # aggregation (PIVOT is sugar for it — proving the equivalence IS the
@@ -1254,6 +1366,12 @@ REGISTRY: dict[str, tuple] = {
     "q16_supplier_variety": (_sql(Q16_SQL), Q16_SQL),
     "q18_large_orders": (_sql(Q18_SQL), Q18_SQL),
     "q22_idle_customers": (_sql(Q22_SQL), Q22_SQL),
+    "q7_nation_volume": (_sql(Q7_SQL), Q7_SQL),
+    "q8_market_share": (_sql(Q8_SQL), Q8_SQL),
+    "q13_order_count_dist": (_sql(Q13_SQL), Q13_SQL),
+    "q15_top_supplier": (_sql(Q15_SQL), Q15_SQL),
+    "q17_small_qty_revenue": (_sql(Q17_SQL), Q17_SQL),
+    "q19_or_predicates": (_sql(Q19_SQL), Q19_SQL),
     "pivot_order_status": (_sql(PIVOT_SPARK), PIVOT_DUCK),
     "anti_join_orders": (_sql(ANTI_SQL_SPARK), ANTI_SQL_DUCK),
     "semi_join_customers": (_sql(SEMI_SQL_SPARK), SEMI_SQL_DUCK),
