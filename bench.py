@@ -81,6 +81,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q8_market_share",
+    "q13_order_count_dist",
     "events_sessionize",
     "events_value_quantiles",
     "events_distinct_users_salted",
@@ -102,7 +104,9 @@ HEADLINE = [
     "dataset_pack_sequences",
     "dataset_decontaminate",
     "dataset_sample_stratified",
+    "dataset_mixture_epochs",
     "text_repetition_filter",
+    "text_lm_score_proxy",
     "curate_corpus",
     "dedup_embedding_blocked",
     "dedup_embedding_lsh",
