@@ -406,6 +406,54 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
+# ROLLUP (hierarchical subtotals) + GROUPING() disambiguation: the
+# grouping-id bit distinguishes a real NULL group key from a subtotal
+# row identically in both engines.
+ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+       count(*) AS n,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS DOUBLE) / 100.0, 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+# LAG window: per-user inter-event gap distribution, bucketed — the
+# sessionization primitive surfaced as its own operator. One hash
+# exchange on user_id. Gaps in exact integer MICROSECONDS
+# (unix_micros / epoch_us) — second-truncating functions disagree
+# across engines on sub-second timestamps.
+EVENT_GAPS_SQL = """
+WITH g AS (
+  SELECT user_id,
+         unix_micros(CAST(ts AS TIMESTAMP))
+           - unix_micros(CAST(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS TIMESTAMP))
+           AS gap_us
+  FROM events)
+SELECT CAST(least(gap_us DIV 600000000, 12) AS BIGINT) AS bucket,
+       count(*) AS n,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY CAST(least(gap_us DIV 600000000, 12) AS BIGINT)
+"""
+EVENT_GAPS_DUCK = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events)
+SELECT CAST(least(gap_us // 600000000, 12) AS BIGINT) AS bucket,
+       count(*) AS n,
+       min(gap_us) AS min_gap_us,
+       max(gap_us) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY CAST(least(gap_us // 600000000, 12) AS BIGINT)
+"""
+
 # per-host fetch-count analogue (A3): per event_type hourly rollup
 EVENTS_HOURLY_SQL_SPARK = """
 SELECT unix_timestamp(date_trunc('hour', ts)) AS hour_epoch,
@@ -1379,6 +1427,8 @@ REGISTRY: dict[str, tuple] = {
     "topk_per_group": (_sql(TOPK_GROUP_SQL), TOPK_GROUP_SQL),
     "global_topk": (_sql(GLOBAL_TOPK_SQL), GLOBAL_TOPK_SQL),
     "cube_lineitem": (_sql(CUBE_SQL), CUBE_SQL),
+    "rollup_orders": (_sql(ROLLUP_SQL), ROLLUP_SQL),
+    "events_gap_histogram": (_sql(EVENT_GAPS_SQL), EVENT_GAPS_DUCK),
     "events_hourly": (_sql(EVENTS_HOURLY_SQL_SPARK), EVENTS_HOURLY_SQL_DUCK),
     "events_sessionize": (_sql(SESSION_SQL_SPARK), SESSION_SQL_DUCK),
     "running_total": (_sql(RUNNING_SQL), RUNNING_SQL),
