@@ -440,6 +440,49 @@ SELECT CAST(least(gap_us DIV 600000000, 12) AS BIGINT) AS bucket,
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY CAST(least(gap_us DIV 600000000, 12) AS BIGINT)
 """
+# JSON extraction from the events.props payload column (semi-
+# structured analytics): per-event-type stats over the extracted
+# integer. Spark get_json_object / DuckDB json_extract both yield the
+# scalar; exact BIGINT aggregation keeps the engines bit-identical.
+JSON_PROPS_SQL_SPARK = """
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(get_json_object(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+JSON_PROPS_SQL_DUCK = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+
+# SQL set operations (INTERSECT / EXCEPT / UNION, all distinct-
+# semantics) over the two 1996 half-year buyer sets — each op is its
+# own aggregate-then-join plan shape in Spark.
+SET_OPS_SQL = """
+WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderdate >= timestamp'1996-01-01'
+              AND o_orderdate <  timestamp'1996-07-01'),
+h2 AS (SELECT DISTINCT o_custkey FROM orders
+       WHERE o_orderdate >= timestamp'1996-07-01'
+         AND o_orderdate <  timestamp'1997-01-01')
+SELECT
+  (SELECT count(*) FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2) a)
+    AS n_both,
+  (SELECT count(*) FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2) b)
+    AS n_only_h1,
+  (SELECT count(*) FROM (SELECT * FROM h1 UNION SELECT * FROM h2) c)
+    AS n_either
+"""
+
 EVENT_GAPS_DUCK = """
 WITH g AS (
   SELECT user_id,
@@ -1429,6 +1472,8 @@ REGISTRY: dict[str, tuple] = {
     "cube_lineitem": (_sql(CUBE_SQL), CUBE_SQL),
     "rollup_orders": (_sql(ROLLUP_SQL), ROLLUP_SQL),
     "events_gap_histogram": (_sql(EVENT_GAPS_SQL), EVENT_GAPS_DUCK),
+    "events_json_props": (_sql(JSON_PROPS_SQL_SPARK), JSON_PROPS_SQL_DUCK),
+    "setops_halfyear_buyers": (_sql(SET_OPS_SQL), SET_OPS_SQL),
     "events_hourly": (_sql(EVENTS_HOURLY_SQL_SPARK), EVENTS_HOURLY_SQL_DUCK),
     "events_sessionize": (_sql(SESSION_SQL_SPARK), SESSION_SQL_DUCK),
     "running_total": (_sql(RUNNING_SQL), RUNNING_SQL),
