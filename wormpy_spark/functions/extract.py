@@ -42,6 +42,9 @@ VOID_ELEMENTS = {
 
 DROP_TAGS = {"script", "style", "nav", "header", "footer", "aside"}
 
+# S7: extracted text shorter than this ⇒ dynamic (content_processor.py:270-287)
+DYNAMIC_THRESHOLD = 500
+
 
 class _Node:
     __slots__ = ("tag", "attrs", "children", "text_parts")
@@ -129,13 +132,9 @@ def _collect_text(node: _Node, out: list[str]) -> None:
 # Pure-Python cores
 # ---------------------------------------------------------------------------
 
-def extract_links(html: str, base_url: str, content_type: str = "text/html") -> set[str]:
-    """F1: {urljoin(base, a[href])} over the whole document (including
-    dropped-for-text regions — the reference extracts links BEFORE any
-    text cleanup, from the raw soup)."""
-    if not content_type.lower().startswith("text/html"):
-        return set()
-    root = _parse(html)
+def doc_links(root: _Node, base_url: str) -> set[str]:
+    """Tree half of F1 — callers that already hold a parsed document
+    (the fused fetch kernel) extract from it without re-parsing."""
     links: set[str] = set()
 
     def visit(node: _Node) -> None:
@@ -148,13 +147,26 @@ def extract_links(html: str, base_url: str, content_type: str = "text/html") -> 
     return links
 
 
-def extract_text(html: str) -> str:
-    """F2: reference-equivalent visible-text extraction."""
-    root = _parse(html)
+def extract_links(html: str, base_url: str, content_type: str = "text/html") -> set[str]:
+    """F1: {urljoin(base, a[href])} over the whole document (including
+    dropped-for-text regions — the reference extracts links BEFORE any
+    text cleanup, from the raw soup)."""
+    if not content_type.lower().startswith("text/html"):
+        return set()
+    return doc_links(_parse(html), base_url)
+
+
+def doc_text(root: _Node) -> str:
+    """Tree half of F2."""
     parts: list[str] = []
     _collect_text(root, parts)
     stripped = (p.strip() for p in "\n".join(parts).splitlines())
     return "\n".join(line for line in stripped if line)
+
+
+def extract_text(html: str) -> str:
+    """F2: reference-equivalent visible-text extraction."""
+    return doc_text(_parse(html))
 
 
 def extract_meta(html: str, content_type: str, url: str) -> dict[str, str | None]:
@@ -163,7 +175,12 @@ def extract_meta(html: str, content_type: str, url: str) -> dict[str, str | None
     meta: dict[str, str] = {"url": url, "content_type": content_type}
     if not content_type.lower().startswith("text/html"):
         return meta
-    root = _parse(html)
+    return doc_meta(_parse(html), content_type, url)
+
+
+def doc_meta(root: _Node, content_type: str, url: str) -> dict[str, str | None]:
+    """Tree half of F3."""
+    meta: dict[str, str] = {"url": url, "content_type": content_type}
 
     title_holder: list[str] = []
     schema_holder: list[str] = []
@@ -331,7 +348,7 @@ def pdf_info(body: bytes) -> dict[str, str]:
     return out
 
 
-def is_dynamic_content(html: str, threshold: int = 500) -> bool:
+def is_dynamic_content(html: str, threshold: int = DYNAMIC_THRESHOLD) -> bool:
     """S7: extracted text shorter than 500 chars ⇒ dynamic
     (content_processor.py:270-287)."""
     return len(extract_text(html)) < threshold

@@ -36,9 +36,11 @@ from collections.abc import Iterator
 import pandas as pd
 
 from ..functions.extract import (
-    extract_links,
-    extract_meta,
-    extract_text,
+    DYNAMIC_THRESHOLD,
+    _parse,
+    doc_links,
+    doc_meta,
+    doc_text,
     is_dynamic_content,
     pdf_info,
     pdf_text,
@@ -120,9 +122,16 @@ def process_row(row: dict, discovery: bool) -> dict:
     ctype = row["content_type"]
     out["content_type"] = ctype
     if ctype.lower().startswith("text/html"):
+        # ONE parse per document (guide §4.2: the HTML parse is the
+        # kernel's dominant cost — the separate is_dynamic/meta/text/
+        # links passes each re-parsed the same body, 4 parses/page):
+        # parse once, then text/meta/links are tree walks, and the
+        # dynamic check reuses the text it already extracted.
         body = bytes(row["body"]).decode("utf-8", errors="replace")
+        root = _parse(body)
+        text = doc_text(root)
         fetched_urls: list[str] = []
-        if is_dynamic_content(body):
+        if len(text) < DYNAMIC_THRESHOLD:  # S7 ≡ is_dynamic_content
             if _isnull(row.get("dynamic_body")):
                 out["discovered_urls"] = []  # selenium failed → R2
                 out["error"] = "fetch_error"
@@ -130,11 +139,13 @@ def process_row(row: dict, discovery: bool) -> dict:
                 out["content_type"] = None
                 return out
             body = bytes(row["dynamic_body"]).decode("utf-8", errors="replace")
+            root = _parse(body)
+            text = doc_text(root)
             dl = row.get("dynamic_links")
             fetched_urls = [] if _isnull(dl) else list(dl)
-        out["metadata"] = extract_meta(body, ctype, norm)
-        out["text"] = extract_text(body)
-        discovered = fetched_urls if fetched_urls else extract_links(body, norm, ctype)
+        out["metadata"] = doc_meta(root, ctype, norm)
+        out["text"] = text
+        discovered = fetched_urls if fetched_urls else doc_links(root, norm)
     elif ctype.lower() == "application/pdf" or is_pdf_path(norm):
         body_b = bytes(row["body"])
         # doc-info merge ↔ reference metadata.update(reader.metadata)
