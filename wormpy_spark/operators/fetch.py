@@ -164,7 +164,9 @@ def process_row(row: dict, discovery: bool) -> dict:
     return out
 
 
-def make_fetch_extract(discovery: bool, scope_base: str | None = None):
+def make_fetch_extract(
+    discovery: bool, scope_base: str | None = None, probe_skip_bc=None
+):
     """mapInPandas function over the (due frontier ⋈ web) join.
 
     Accepts bodies either raw (``body``/``dynamic_body``) or
@@ -181,7 +183,16 @@ def make_fetch_extract(discovery: bool, scope_base: str | None = None):
     and the output schema is PAGES_SCHEMA_EXPAND. Normalization is
     memoized per task: link batches repeat nav/boilerplate URLs
     heavily, so unique-then-map cuts urlparse calls 10-30x (same trick
-    as functions.urlnorm.canonicalize_udf)."""
+    as functions.urlnorm.canonicalize_udf).
+
+    ``probe_skip_bc``: broadcast frozenset of probe-skip URLs (the
+    suspicious image/* set, P5/P6). When given, those URLs are dropped
+    from ``discovered_norm`` right here — the links are already plain
+    Python strings in this worker, so the admission-time probe filter
+    costs set lookups instead of a separate UDF pass over the whole
+    candidate stream. Dropping at discovery is output-identical to the
+    pop-time skip: such a URL never gets a seq and never enters seen on
+    either path (it is filtered before seq assignment in both)."""
     import zlib
 
     from ..functions.urlnorm import normalize_url
@@ -196,6 +207,7 @@ def make_fetch_extract(discovery: bool, scope_base: str | None = None):
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, str] = {}
+        skip = probe_skip_bc.value if probe_skip_bc is not None else None
 
         def _norm(u: str) -> str:
             v = memo.get(u)
@@ -221,6 +233,7 @@ def make_fetch_extract(discovery: bool, scope_base: str | None = None):
                             n
                             for n in (_norm(l) for l in links)
                             if n.startswith(scope_base)
+                            and (skip is None or n not in skip)
                         }
                     )
             yield pd.DataFrame(rows, columns=cols)

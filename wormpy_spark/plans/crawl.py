@@ -45,7 +45,7 @@ import time
 from dataclasses import dataclass, field
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.urlnorm import (
@@ -357,6 +357,7 @@ def run_crawl(
 
     pages_rounds: list[int] = catalog.rounds() if config.resume else []
     bloom_bc = None
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # True when the current frontier is KNOWN globally dedup'd at write
     # time (expansion/fastround output with no per-host deferral in
     # play): the loop's J2 dedup shuffle is then an identity and is
@@ -372,6 +373,18 @@ def run_crawl(
     # fixed cost of a big round's seq phase) is then an identity and is
     # skipped. Seeds and resumed frontiers keep it.
     frontier_admission_exact = False
+    # Fused-seq state: when the expansion ALSO applied the probe-skip
+    # (P5/P6) and robots filters at admission — provably output-
+    # identical, a skipped URL never gets a seq and never enters seen
+    # on either path — and stamped each row's deterministic range
+    # bucket (``seq_bucket``), the per-bucket row counts ride the
+    # frontier WRITE job as an Observation. The next round then knows
+    # its offsets (and n_eligible) driver-side: the whole filter chain
+    # is an identity and the seq assignment fuses into the fetch job —
+    # zero extra Spark jobs per round (guide §2.4: the counts job was
+    # a pure per-round floor, ~1s + planning per round at any core
+    # count). Seeds, resumed frontiers and deferral rounds fall back.
+    fused_counts: dict[int, int] | None = None
 
     r = start_round
     while r < config.max_rounds and processed < budget:
@@ -395,8 +408,25 @@ def run_crawl(
             pages_r_path = catalog.table_path("pages", r)
             write_pages_parquet(pages_r_path, fr.pages)
             frontier_path = catalog.table_path("frontier", r)
+            # fused-seq info, driver-side (mirrors the Spark expansion's
+            # Observation): fastround admission already applied probe/
+            # robots filters, so bucket counts here let a handover round
+            # take the fused path with zero standalone actions
+            fast_counts: dict[int, int] | None = None
+            seq_buckets = None
+            if config.max_per_host_per_round is None:
+                lo = processed
+                span = max(fr.due_count, 1)
+                seq_buckets = []
+                fast_counts = {}
+                for (_u, _renq, pseq, _srank, _un) in fr.frontier_next:
+                    b = (pseq - lo) * n_part // span
+                    b = 0 if b < 0 else (n_part - 1 if b >= n_part else b)
+                    seq_buckets.append(b)
+                    fast_counts[b] = fast_counts.get(b, 0) + 1
             write_frontier_parquet(
-                frontier_path, fr.frontier_next, config.n_host_shards
+                frontier_path, fr.frontier_next, config.n_host_shards,
+                seq_buckets,
             )
             pages_rounds.append(r)
             processed += fr.due_count
@@ -444,113 +474,153 @@ def run_crawl(
                 frontier_deduped = config.max_per_host_per_round is None
                 frontier_admission_exact = True
                 seen = seen_from_pages(pages_rounds)
+                fused_counts = fast_counts
             r += 1
             continue
         frontier_rows = None
         seen_set = None
-        # url_norm is carried by the frontier (seeds canonicalized at
-        # seeding, expansions at discovery), and v2 frontiers also
-        # carry (host, url_hash, host_shard) from admission — no
-        # per-round UDF/hash re-derivation. v1 frontiers (seeds, old
-        # checkpoints) are backfilled here.
-        if "host" in frontier.columns:
-            f = frontier
-        else:
-            f = (
-                frontier.withColumn("host", host_udf(F.col("url_norm")))
-                .withColumn("url_hash", F.xxhash64(F.col("url_norm")))
-                .withColumn(
-                    "host_shard",
-                    F.pmod(
-                        F.xxhash64(F.col("host")), F.lit(config.n_host_shards)
-                    ).cast("int"),
-                )
-            )
-        in_scope = f.filter(F.col("url_norm").startswith(base))  # P4
-        if frontier_admission_exact:
-            # J1 already applied exactly at admission (fresh bloom +
-            # exact suspects join, or fastround's driver set) and seen
-            # only grows by rows FETCHED since — which are disjoint
-            # from this frontier by construction
-            not_seen = in_scope
-        else:
-            not_seen = anti_join_seen(  # J1
-                in_scope, seen, bloom_bc,
-                seen_count=processed, broadcast_below=config.bloom_min_seen,
-            )
-        deduped = (                                               # J2 equiv.
-            not_seen if frontier_deduped else dedup_within_round(not_seen)
-        )
 
-        # P5/P6 — HEAD-model probe: only suspicious URLs consult the
-        # content type; image/* are skipped (scraper.py:81-84).
-        susp = deduped.filter(suspicious_pred(F.col("url_norm")))
-        rest = deduped.filter(~suspicious_pred(F.col("url_norm")))
-        if probe_skip_bc is not None:
-            # fast path: membership in the once-collected skip set
-            susp_kept = susp.filter(~_probe_skips(F.col("url_norm")))
-        else:
-            # scale path: semi-prune the probe table by the (tiny)
-            # suspicious key set first — otherwise the planner
-            # broadcasts the full probe projection every round
-            probe_small = probe.join(
-                F.broadcast(susp.select("url_norm")), on="url_norm", how="left_semi"
+        # ---- fused-seq fast path: the previous round's expansion
+        # already applied the complete filter chain at admission and
+        # published per-bucket counts via its write-job Observation, so
+        # this round needs NO standalone action before the fetch: the
+        # offsets are driver arithmetic and the bucket-window seq
+        # assignment rides the fetch job itself. ----
+        if fused_counts is not None:
+            deferred = None
+            seq_cache = None
+            n_eligible = sum(fused_counts.values())
+            t_seq = time.time()
+            if n_eligible == 0:
+                break
+            offsets: dict[int, int] = {}
+            acc = processed
+            for pid in sorted(fused_counts):
+                if fused_counts[pid]:
+                    offsets[pid] = acc
+                    acc += fused_counts[pid]
+            mapping = F.create_map(
+                *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
             )
-            susp_kept = (
-                susp.join(F.broadcast(probe_small), on="url_norm", how="left")
-                .filter(
-                    F.col("_probe_ct").isNull()
-                    | ~F.col("_probe_ct").startswith("image/")
-                )
-                .drop("_probe_ct")
-            )
-        eligible = rest.unionByName(susp_kept)
-        if robots_filter is not None:
-            eligible = eligible.filter(robots_filter(F.col("url_norm")))
-
-        deferred = None
-        if config.max_per_host_per_round is not None:
-            from pyspark.sql import Window
-
-            hw = Window.partitionBy("host").orderBy(
+            bw = Window.partitionBy("seq_bucket").orderBy(
                 *[F.col(c) for c in PRIORITY_COLS]
             )
-            ranked = eligible.withColumn("_hr", F.row_number().over(hw))
-            deferred = (
-                ranked.filter(F.col("_hr") > config.max_per_host_per_round)
-                .select("url", "round_enqueued", "parent_seq", "sibling_rank",
-                        "url_norm", "host", "url_hash", "host_shard")
+            seqd = frontier.withColumn(
+                "seq",
+                (mapping[F.col("seq_bucket")] + F.row_number().over(bw) - 1)
+                .cast("long"),
             )
-            eligible = ranked.filter(
-                F.col("_hr") <= config.max_per_host_per_round
-            ).drop("_hr")
+            due = seqd.filter(F.col("seq") < budget).withColumn(
+                "round", F.lit(r).cast("int")
+            )
+        else:
+            # url_norm is carried by the frontier (seeds canonicalized at
+            # seeding, expansions at discovery), and v2 frontiers also
+            # carry (host, url_hash, host_shard) from admission — no
+            # per-round UDF/hash re-derivation. v1 frontiers (seeds, old
+            # checkpoints) are backfilled here.
+            if "host" in frontier.columns:
+                f = frontier
+            else:
+                f = (
+                    frontier.withColumn("host", host_udf(F.col("url_norm")))
+                    .withColumn("url_hash", F.xxhash64(F.col("url_norm")))
+                    .withColumn(
+                        "host_shard",
+                        F.pmod(
+                            F.xxhash64(F.col("host")), F.lit(config.n_host_shards)
+                        ).cast("int"),
+                    )
+                )
+            in_scope = f.filter(F.col("url_norm").startswith(base))  # P4
+            if frontier_admission_exact:
+                # J1 already applied exactly at admission (fresh bloom +
+                # exact suspects join, or fastround's driver set) and seen
+                # only grows by rows FETCHED since — which are disjoint
+                # from this frontier by construction
+                not_seen = in_scope
+            else:
+                not_seen = anti_join_seen(  # J1
+                    in_scope, seen, bloom_bc,
+                    seen_count=processed, broadcast_below=config.bloom_min_seen,
+                )
+            deduped = (                                               # J2 equiv.
+                not_seen if frontier_deduped else dedup_within_round(not_seen)
+            )
 
-        # one computation of the whole filter chain per round: the seq
-        # assignment persists its range-partitioned output (also pinning
-        # the partitioning so offsets stay valid — see assign_global_seq),
-        # its count collect materializes the cache, and the fetch reuses it.
-        # Without deferral every frontier row shares round_enqueued, and
-        # parent_seq is bounded by the previous round's seq range (driver-
-        # known) — deterministic bucket boundaries, which drops the range
-        # partitioner's per-round SAMPLING job (half the seq phase's fixed
-        # job cost). Deferral mixes round_enqueued values, where parent_seq
-        # alone is not monotone in the priority order → sampling path.
-        bucket_hint = (
-            ("parent_seq", parent_bounds[0], parent_bounds[1])
-            if config.max_per_host_per_round is None
-            else None
-        )
-        seqd, n_eligible, seq_cache = assign_global_seq(
-            eligible, PRIORITY_COLS, start=processed, range_bucket=bucket_hint
-        )
-        t_seq = time.time()
-        if n_eligible == 0:
-            seq_cache.unpersist()
-            break
-        due = seqd.filter(F.col("seq") < budget).withColumn(
-            "round", F.lit(r).cast("int")
-        )
+            # P5/P6 — HEAD-model probe: only suspicious URLs consult the
+            # content type; image/* are skipped (scraper.py:81-84).
+            susp = deduped.filter(suspicious_pred(F.col("url_norm")))
+            rest = deduped.filter(~suspicious_pred(F.col("url_norm")))
+            if probe_skip_bc is not None:
+                # fast path: membership in the once-collected skip set
+                susp_kept = susp.filter(~_probe_skips(F.col("url_norm")))
+            else:
+                # scale path: semi-prune the probe table by the (tiny)
+                # suspicious key set first — otherwise the planner
+                # broadcasts the full probe projection every round
+                probe_small = probe.join(
+                    F.broadcast(susp.select("url_norm")), on="url_norm", how="left_semi"
+                )
+                susp_kept = (
+                    susp.join(F.broadcast(probe_small), on="url_norm", how="left")
+                    .filter(
+                        F.col("_probe_ct").isNull()
+                        | ~F.col("_probe_ct").startswith("image/")
+                    )
+                    .drop("_probe_ct")
+                )
+            eligible = rest.unionByName(susp_kept)
+            if robots_filter is not None:
+                eligible = eligible.filter(robots_filter(F.col("url_norm")))
+
+            deferred = None
+            if config.max_per_host_per_round is not None:
+                hw = Window.partitionBy("host").orderBy(
+                    *[F.col(c) for c in PRIORITY_COLS]
+                )
+                ranked = eligible.withColumn("_hr", F.row_number().over(hw))
+                deferred = (
+                    ranked.filter(F.col("_hr") > config.max_per_host_per_round)
+                    .select("url", "round_enqueued", "parent_seq", "sibling_rank",
+                            "url_norm", "host", "url_hash", "host_shard")
+                )
+                eligible = ranked.filter(
+                    F.col("_hr") <= config.max_per_host_per_round
+                ).drop("_hr")
+
+            # one computation of the whole filter chain per round: the seq
+            # assignment persists its range-partitioned output (also pinning
+            # the partitioning so offsets stay valid — see assign_global_seq),
+            # its count collect materializes the cache, and the fetch reuses it.
+            # Without deferral every frontier row shares round_enqueued, and
+            # parent_seq is bounded by the previous round's seq range (driver-
+            # known) — deterministic bucket boundaries, which drops the range
+            # partitioner's per-round SAMPLING job (half the seq phase's fixed
+            # job cost). Deferral mixes round_enqueued values, where parent_seq
+            # alone is not monotone in the priority order → sampling path.
+            bucket_hint = (
+                ("parent_seq", parent_bounds[0], parent_bounds[1])
+                if config.max_per_host_per_round is None
+                else None
+            )
+            seqd, n_eligible, seq_cache = assign_global_seq(
+                eligible, PRIORITY_COLS, start=processed, range_bucket=bucket_hint
+            )
+            t_seq = time.time()
+            if n_eligible == 0:
+                seq_cache.unpersist()
+                break
+            due = seqd.filter(F.col("seq") < budget).withColumn(
+                "round", F.lit(r).cast("int")
+            )
+
         due_count = min(n_eligible, budget - processed)
+
+        # only the columns the fetch kernel consumes cross the exchange
+        # and the Arrow boundary (mapInPandas ships every input column):
+        # url/priority/url_hash/seq_bucket are dead past this point
+        due = due.select("url_norm", "seq", "round", "host", "host_shard")
 
         # GET-model fetch join + one Arrow extraction pass (S4-S7, F1-F3).
         # Strategy by round size:
@@ -569,14 +639,15 @@ def run_crawl(
             joined = due.join(web_small, on="url_norm", how="left")
         else:
             joined = due.join(web_fetch.hint("shuffle_hash"), on="url_norm", how="left")
-        from pyspark.sql import Observation
-
         obs = Observation(f"round_{r}")
         # scope_base: the kernel also emits the pre-canonicalized
         # expansion column (discovered_norm) so the expansion below is
         # a shuffle-free posexplode — see operators/fetch.py
         pages_out = joined.mapInPandas(
-            make_fetch_extract(config.discovery, scope_base=base),
+            make_fetch_extract(
+                config.discovery, scope_base=base,
+                probe_skip_bc=probe_skip_bc,
+            ),
             PAGES_SCHEMA_EXPAND,
         ).observe(obs, F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"))
         # persist BEFORE the (synchronous) snapshot write: the write job
@@ -665,8 +736,55 @@ def run_crawl(
             # deferred rows keep their original priority, so they sort
             # ahead of this round's expansions next round
             frontier_next = deferred.unionByName(frontier_next)
+        # ---- fused-seq instrumentation for the NEXT round: the fetch
+        # kernel already dropped probe-skip URLs (P5/P6) from
+        # discovered_norm at discovery (set lookups on strings already
+        # in the Python worker — no UDF pass here), robots (when on)
+        # filters here, the deterministic parent_seq range bucket is
+        # stamped, and the per-bucket counts ride the write job as an
+        # Observation. Next round then assigns seq with driver-known
+        # offsets inside the fetch job: no standalone action at all.
+        obs_f = None
+        if (
+            config.discovery
+            and deferred is None
+            and config.max_per_host_per_round is None
+            and probe_skip_bc is not None
+        ):
+            if robots_filter is not None:
+                frontier_next = frontier_next.filter(
+                    robots_filter(F.col("url_norm"))
+                )
+            # candidates' parent_seq ∈ [processed, processed_next) by
+            # construction (parents are this round's due pages); integer
+            # DIV keeps the bucket map exactly monotone (same contract
+            # as assign_global_seq's range_bucket path)
+            lo = processed
+            span = max(processed_next - processed, 1)
+            bucket = F.expr(
+                f"CAST(((parent_seq - {lo}L) * {n_part}L) DIV {span}L AS INT)"
+            )
+            bucket = F.least(
+                F.lit(n_part - 1), F.greatest(F.lit(0), bucket)
+            )
+            frontier_next = frontier_next.withColumn("seq_bucket", bucket)
+            obs_f = Observation(f"frontier_{r}")
+            frontier_next = frontier_next.observe(
+                obs_f,
+                *[
+                    F.sum((F.col("seq_bucket") == i).cast("long")).alias(f"b{i}")
+                    for i in range(n_part)
+                ],
+            )
         frontier_path = catalog.write_table("frontier", r, frontier_next)
         frontier = spark.read.parquet(frontier_path)
+        if obs_f is not None:
+            counts_row = obs_f.get  # free: rode the write job
+            fused_counts = {
+                i: int(counts_row[f"b{i}"] or 0) for i in range(n_part)
+            }
+        else:
+            fused_counts = None
         # admitted is dedup_within_round output; deferral union may
         # reintroduce a URL the expansion also discovered
         frontier_deduped = config.max_per_host_per_round is None
@@ -674,7 +792,8 @@ def run_crawl(
         # (or the exact broadcast path below bloom_min_seen): next
         # round's J1 re-check is an identity
         frontier_admission_exact = True
-        seq_cache.unpersist()
+        if seq_cache is not None:
+            seq_cache.unpersist()
         pages_r.unpersist()
         t_expand = time.time()
 

@@ -99,11 +99,14 @@ def write_pages_parquet(path: str, rows: list[dict]) -> None:
 
 
 def write_frontier_parquet(
-    path: str, rows: list[tuple], n_host_shards: int = 64
+    path: str, rows: list[tuple], n_host_shards: int = 64,
+    seq_buckets: list[int] | None = None,
 ) -> None:
     """rows: (url, round_enqueued, parent_seq, sibling_rank, url_norm);
     the v2 derived columns (host, url_hash, host_shard) are computed
-    here so the Spark loop never re-derives them."""
+    here so the Spark loop never re-derives them. ``seq_buckets``
+    (parallel to rows) adds the fused-seq bucket column the Spark
+    loop's fused path consumes (see plans/crawl.py)."""
     os.makedirs(path, exist_ok=True)
     hosts = [get_domain(r[4]) for r in rows]
     cols: dict[str, list] = {
@@ -114,7 +117,11 @@ def write_frontier_parquet(
     cols["host"] = hosts
     cols["url_hash"] = [xxhash64_str(r[4]) for r in rows]
     cols["host_shard"] = [pmod(xxhash64_str(h), n_host_shards) for h in hosts]
-    table = pa.Table.from_pydict(cols, schema=FRONTIER_ARROW_SCHEMA)
+    schema = FRONTIER_ARROW_SCHEMA
+    if seq_buckets is not None:
+        cols["seq_bucket"] = seq_buckets
+        schema = schema.append(pa.field("seq_bucket", pa.int32()))
+    table = pa.Table.from_pydict(cols, schema=schema)
     pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
 
@@ -226,7 +233,12 @@ def run_fast_round(
     for p in pages:
         seen_set.add(p["url_norm"])
 
-    # J4/O4 expansion → J2 global first-occurrence → J1 admission
+    # J4/O4 expansion → J2 global first-occurrence → J1 admission.
+    # The probe-skip (P5/P6) and robots filters apply at ADMISSION,
+    # mirroring the Spark kernel's discovered_norm filter: a dropped
+    # URL would be filtered before seq assignment at pop time anyway,
+    # so pages/order/seen are identical — and the pop-time checks
+    # above stay as identities for rows admitted here.
     frontier_next: list[tuple] = list(deferred)
     if config.discovery:
         best: dict[str, tuple] = {}
@@ -237,7 +249,7 @@ def run_fast_round(
                 {
                     nn
                     for nn in (normalize_url(l) for l in p["discovered_urls"])
-                    if nn.startswith(base)
+                    if nn.startswith(base) and nn not in probe_skip
                 }
             )
             for pos, nn in enumerate(per_parent):
@@ -246,7 +258,10 @@ def run_fast_round(
                 if prev is None or cand[:3] < prev[:3]:
                     best[nn] = cand
         admitted = sorted(
-            c for un, c in best.items() if un not in seen_set
+            c
+            for un, c in best.items()
+            if un not in seen_set
+            and (robots_cache is None or robots_cache.allows(un))
         )
         frontier_next += admitted
     # back to FRONTIER_SCHEMA column order
