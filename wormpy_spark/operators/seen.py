@@ -140,6 +140,116 @@ def build_bloom_shards(
     return out
 
 
+def build_bloom_shards_sized(
+    seen: DataFrame,
+    hash_col: str,
+    shard_col: str,
+    expected_by_shard: dict[int, int],
+    default_expected: int,
+    fpp: float = 0.01,
+) -> dict[int, Bloom]:
+    """Like build_bloom_shards but with PER-SHARD sizing. Uniform
+    sizing (total/n_shards) saturates the hot shard of a skewed (or
+    single-host) crawl — at 16x skew the hot shard gets ~0.6 bits/key
+    and its FPP approaches 1, sending every candidate to the exact
+    anti-join while still paying the bitmap build. Callers size each
+    shard from its observed key share extrapolated to the full crawl
+    budget, so one sizing lasts the whole crawl and the bitmaps can be
+    grown incrementally (add_bloom_delta) instead of rebuilt."""
+    sizing = {
+        int(s): Bloom.sized(max(e, 64), fpp)
+        for s, e in expected_by_shard.items()
+    }
+    dims = {s: (b.n_bits, b.n_hashes) for s, b in sizing.items()}
+    proto_default = Bloom.sized(max(default_expected, 64), fpp)
+    default_dims = (proto_default.n_bits, proto_default.n_hashes)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, Bloom] = {}
+        for pdf in batches:
+            for shard, grp in pdf.groupby(shard_col):
+                b = acc.get(int(shard))
+                if b is None:
+                    n_bits, n_hashes = dims.get(int(shard), default_dims)
+                    b = acc.setdefault(int(shard), Bloom(n_bits, n_hashes))
+                b.add(grp[hash_col].to_numpy(np.int64))
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "shard": list(acc),
+                    "bits": [b.bits.tobytes() for b in acc.values()],
+                }
+            )
+
+    parts = (
+        seen.select(hash_col, shard_col)
+        .mapInPandas(partial, "shard int, bits binary")
+        .collect()
+    )
+    out: dict[int, Bloom] = {}
+    for row in parts:
+        s = int(row["shard"])
+        b = out.get(s)
+        if b is None:
+            n_bits, n_hashes = dims.get(s, default_dims)
+            b = out.setdefault(s, Bloom(n_bits, n_hashes))
+        b.bits |= np.frombuffer(row["bits"], np.uint8)
+    return out
+
+
+def add_bloom_delta(
+    blooms: dict[int, Bloom],
+    delta: DataFrame,
+    hash_col: str,
+    shard_col: str,
+    default_expected: int,
+    fpp: float = 0.01,
+) -> dict[int, Bloom]:
+    """Incrementally fold one round's NEW keys into an existing sharded
+    bloom — an O(delta) job instead of the O(total-seen) rebuild a
+    per-round build costs (guide §2: per-round work should track the
+    round's data, not the crawl's history). Inserts only set bits, so
+    the no-false-negative contract is preserved unconditionally;
+    undersizing only raises FPP, never breaks exactness (the exact
+    anti-join stays authoritative for suspects). Returns the same dict,
+    mutated, with bitmaps for previously-unseen shards created at
+    ``default_expected`` sizing."""
+    dims = {s: (b.n_bits, b.n_hashes) for s, b in blooms.items()}
+    proto_default = Bloom.sized(max(default_expected, 64), fpp)
+    default_dims = (proto_default.n_bits, proto_default.n_hashes)
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, Bloom] = {}
+        for pdf in batches:
+            for shard, grp in pdf.groupby(shard_col):
+                b = acc.get(int(shard))
+                if b is None:
+                    n_bits, n_hashes = dims.get(int(shard), default_dims)
+                    b = acc.setdefault(int(shard), Bloom(n_bits, n_hashes))
+                b.add(grp[hash_col].to_numpy(np.int64))
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "shard": list(acc),
+                    "bits": [b.bits.tobytes() for b in acc.values()],
+                }
+            )
+
+    parts = (
+        delta.select(hash_col, shard_col)
+        .mapInPandas(partial, "shard int, bits binary")
+        .collect()
+    )
+    for row in parts:
+        s = int(row["shard"])
+        b = blooms.get(s)
+        if b is None:
+            n_bits, n_hashes = default_dims
+            b = blooms.setdefault(s, Bloom(n_bits, n_hashes))
+        b.bits |= np.frombuffer(row["bits"], np.uint8)
+    return blooms
+
+
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,

@@ -68,7 +68,11 @@ from ..operators.frontier import (
 )
 from ..operators.politeness import SCHEDULE_SCHEMA, make_schedule_fn
 from ..operators.robots import RobotsCache, robots_allows_udf
-from ..operators.seen import anti_join_seen, build_bloom_shards
+from ..operators.seen import (
+    add_bloom_delta,
+    anti_join_seen,
+    build_bloom_shards_sized,
+)
 from ..sources.catalog import SnapshotCatalog
 from ..sources.sitemap import expand_sitemaps
 from .fastround import (
@@ -325,8 +329,41 @@ def run_crawl(
         # (loose bounds skew buckets, never ordering)
         parent_bounds = tuple(state.get("parent_bounds", (-1, processed)))
         sitemap_urls = state.get("sitemap_urls", [])
-        frontier = catalog.read(spark, "frontier")
         seen = seen_from_pages(catalog.rounds())
+        pending_round = state.get("expansion_pending")
+        if pending_round is not None:
+            # the final committed round deferred its expansion (its
+            # frontier would only ever be read by a resume like this
+            # one): rebuild it deterministically from the committed
+            # pages snapshot — same expansion, same dedup, same
+            # admission anti-join the eager path would have run
+            pages_prev = catalog.read(spark, "pages")
+            cand = expand_frontier(
+                pages_prev, base, next_round=pending_round + 1
+            )
+            cand = dedup_within_round(cand)
+            cand = (
+                cand.withColumn("host", host_udf(F.col("url_norm")))
+                .withColumn("url_hash", F.xxhash64(F.col("url_norm")))
+                .withColumn(
+                    "host_shard",
+                    F.pmod(
+                        F.xxhash64(F.col("host")),
+                        F.lit(config.n_host_shards),
+                    ).cast("int"),
+                )
+            )
+            frontier = anti_join_seen(
+                cand, seen, None,
+                seen_count=processed,
+                broadcast_below=config.bloom_min_seen,
+            ).select(
+                "url", "round_enqueued", "parent_seq", "sibling_rank",
+                "url_norm", "host", "url_hash", "host_shard"
+            )
+        else:
+            frontier = catalog.read(spark, "frontier")
+        resume_frontier_exact = pending_round is not None
         metrics_rows = state.get("metrics_rows", [])
         # resume always re-enters on the Spark path (frontier/seen are
         # snapshot-resident); tiny post-resume rounds still work, they
@@ -351,12 +388,15 @@ def run_crawl(
                 for i, u in enumerate(sitemap_urls)
             ]
         frontier = spark.createDataFrame(seed_rows, FRONTIER_SCHEMA)
+        resume_frontier_exact = False
         frontier_rows = list(seed_rows)
         seen_set = set()
         parent_bounds = (-1, 0)  # seeds carry parent_seq = -1
 
     pages_rounds: list[int] = catalog.rounds() if config.resume else []
     bloom_bc = None
+    bloom_state = None  # incremental sharded-bloom sidecar (built once,
+    # grown by per-round deltas — see the engagement block below)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # True when the current frontier is KNOWN globally dedup'd at write
     # time (expansion/fastround output with no per-host deferral in
@@ -385,6 +425,11 @@ def run_crawl(
     # a pure per-round floor, ~1s + planning per round at any core
     # count). Seeds, resumed frontiers and deferral rounds fall back.
     fused_counts: dict[int, int] | None = None
+    if resume_frontier_exact:
+        # the resume-rebuilt frontier went through dedup + the exact
+        # admission anti-join just above
+        frontier_deduped = True
+        frontier_admission_exact = True
 
     r = start_round
     while r < config.max_rounds and processed < budget:
@@ -685,17 +730,66 @@ def run_crawl(
         # saved ~1s/round of bloom-build wall but handed admission a
         # stale bitmap, whose repair — a full-frontier re-check next
         # round — cost far more at scale.)
-        if config.use_bloom and processed_next >= config.bloom_min_seen:
-            bloom_bc = spark.sparkContext.broadcast(
-                build_bloom_shards(
+        # After the crawl's LAST round (budget exhausted or max_rounds
+        # reached) the expansion — and the bloom refresh that only
+        # feeds its admission — would build a frontier no round ever
+        # consumes. Defer it: commit the pages snapshot with an
+        # expansion_pending flag; a resume rebuilds the frontier
+        # deterministically from that snapshot (same expansion, same
+        # admission), so resumability is unchanged while every
+        # non-resumed crawl saves a full expansion's work.
+        final_round = (
+            processed_next >= budget or (r + 1) >= config.max_rounds
+        )
+        if (
+            config.use_bloom
+            and not final_round
+            and processed_next >= config.bloom_min_seen
+        ):
+            if bloom_state is None:
+                # first engagement: ONE per-shard counts job sizes each
+                # shard's bitmap from its observed key share
+                # extrapolated to the full crawl budget (2x margin) —
+                # uniform total/n_shards sizing saturates the hot shard
+                # of a skewed crawl (FPP → 1: the sidecar then costs a
+                # build + UDF pass and filters nothing). One sizing
+                # lasts the whole crawl, so later rounds only FOLD IN
+                # their delta: O(new pages) per round, not O(total).
+                shard_counts = {
+                    int(row["host_shard"]): int(row["cnt"])
+                    for row in seen.groupBy("host_shard")
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
+                }
+                total_seen = sum(shard_counts.values()) or 1
+                horizon = max(budget, total_seen)
+                expected = {
+                    s: int(c / total_seen * horizon * 2)
+                    for s, c in shard_counts.items()
+                }
+                bloom_state = build_bloom_shards_sized(
                     seen,
                     "url_hash",
                     "host_shard",
-                    expected_per_shard=max(
-                        processed_next * 4 // config.n_host_shards, 1024
+                    expected,
+                    default_expected=max(
+                        horizon * 2 // config.n_host_shards, 1024
                     ),
                 )
-            )
+            else:
+                add_bloom_delta(
+                    bloom_state,
+                    pages_r.select(
+                        F.xxhash64("url_norm").alias("url_hash"),
+                        F.col("host_shard"),
+                    ),
+                    "url_hash",
+                    "host_shard",
+                    default_expected=max(
+                        budget * 2 // config.n_host_shards, 1024
+                    ),
+                )
+            bloom_bc = spark.sparkContext.broadcast(bloom_state)
         t_bloom = time.time()
 
         # expansions → next frontier (J2/J4/O4). Candidates are deduped
@@ -706,7 +800,7 @@ def run_crawl(
         # its distinct set, and everything downstream of this dedup
         # (anti-join UDF, frontier write, next round's whole filter
         # chain) now runs on the small side.
-        if config.discovery:
+        if config.discovery and not final_round:
             cand = expand_frontier(pages_r, base, next_round=r + 1)
             cand = dedup_within_round(cand)
             # derive (host, url_hash, host_shard) ONCE — they ride the
@@ -747,6 +841,7 @@ def run_crawl(
         obs_f = None
         if (
             config.discovery
+            and not final_round
             and deferred is None
             and config.max_per_host_per_round is None
             and probe_skip_bc is not None
@@ -776,8 +871,11 @@ def run_crawl(
                     for i in range(n_part)
                 ],
             )
-        frontier_path = catalog.write_table("frontier", r, frontier_next)
-        frontier = spark.read.parquet(frontier_path)
+        if final_round:
+            frontier_path = None
+        else:
+            frontier_path = catalog.write_table("frontier", r, frontier_next)
+            frontier = spark.read.parquet(frontier_path)
         if obs_f is not None:
             counts_row = obs_f.get  # free: rode the write job
             fused_counts = {
@@ -816,23 +914,22 @@ def run_crawl(
                 "expand_s": round(t_expand - t_bloom, 2),
             }
         )
-        catalog.commit(
-            r,
-            {
-                "pages": pages_r_path,
-                "frontier": frontier_path,
-            },
-            state={
-                "base": base,
-                "processed": processed,
-                "round": r,
-                "budget": budget,
-                "sitemap_urls": sitemap_urls,
-                "metrics_rows": metrics_rows,
-                "n_host_shards": config.n_host_shards,
-                "parent_bounds": list(parent_bounds),
-            },
-        )
+        commit_tables = {"pages": pages_r_path}
+        commit_state = {
+            "base": base,
+            "processed": processed,
+            "round": r,
+            "budget": budget,
+            "sitemap_urls": sitemap_urls,
+            "metrics_rows": metrics_rows,
+            "n_host_shards": config.n_host_shards,
+            "parent_bounds": list(parent_bounds),
+        }
+        if frontier_path is not None:
+            commit_tables["frontier"] = frontier_path
+        else:
+            commit_state["expansion_pending"] = r
+        catalog.commit(r, commit_tables, state=commit_state)
 
         r += 1
 
