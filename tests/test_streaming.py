@@ -101,12 +101,20 @@ def test_stream_sessionize_stateful_equals_batch(spark, tmp_path):
     src.mkdir()
     third = len(pdf) // 3
     for i, chunk in enumerate([pdf[:third], pdf[third : 2 * third], pdf[2 * third :]]):
+        p = str(src / f"part-{i}.parquet")
         pq.write_table(
             pa.Table.from_pandas(chunk, preserve_index=False),
-            str(src / f"part-{i}.parquet"),
+            p,
             coerce_timestamps="us",  # Spark reads µs timestamps, not ns
             allow_truncated_timestamps=True,
         )
+        # FileStreamSource orders micro-batches by file mtime at MS
+        # granularity: three sub-ms writes tie and the batch order is
+        # then arbitrary, which violates this operator's documented
+        # batch-monotonic input contract (observed once under full-suite
+        # load as {1:1, 3:5}). Pin strictly increasing mtimes, as the
+        # dropDuplicates test below already does.
+        os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
 
     q = stream_sessionize(
         spark, str(src), "event_id long, user_id long, ts timestamp",
