@@ -397,6 +397,11 @@ def run_crawl(
     bloom_bc = None
     bloom_state = None  # incremental sharded-bloom sidecar (built once,
     # grown by per-round deltas — see the engagement block below)
+    seen_cache = None  # persisted incremental seen set (guide §2.4: the
+    # admission anti-join's seen side was re-derived from EVERY pages
+    # snapshot every round — an O(total-seen) parquet re-read + re-hash
+    # per round; the cache makes it O(delta): cached seen ∪ this
+    # round's snapshot)
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # True when the current frontier is KNOWN globally dedup'd at write
     # time (expansion/fastround output with no per-host deferral in
@@ -431,9 +436,12 @@ def run_crawl(
         frontier_deduped = True
         frontier_admission_exact = True
 
+    sc = spark.sparkContext
+
     r = start_round
     while r < config.max_rounds and processed < budget:
         t0 = time.time()
+        sc.setJobDescription(f"crawl r{r}")
 
         # ---- driver fast path: whole tiny round in Python, one Spark
         # job (the web key lookup) — see plans/fastround.py ----
@@ -444,9 +452,11 @@ def run_crawl(
             and probe_skip_bc is not None
             and len(frontier_rows) <= config.fast_round_max
         ):
+            sc.setJobDescription(f"crawl r{r}: fast round")
             fr = run_fast_round(
                 r, frontier_rows, seen_set, processed, budget, base,
                 config, web_fetch, probe_skip_bc.value, robots_cache_obj,
+                probe_skip_bc=probe_skip_bc,
             )
             if fr.n_eligible == 0:
                 break
@@ -649,6 +659,7 @@ def run_crawl(
                 if config.max_per_host_per_round is None
                 else None
             )
+            sc.setJobDescription(f"crawl r{r}: global seq")
             seqd, n_eligible, seq_cache = assign_global_seq(
                 eligible, PRIORITY_COLS, start=processed, range_bucket=bucket_hint
             )
@@ -708,6 +719,7 @@ def run_crawl(
         # snapshots keep the exact PAGES_SCHEMA contract (sinks, resume,
         # fastround parity): the expansion column lives only in the
         # cached frame the expansion below consumes
+        sc.setJobDescription(f"crawl r{r}: fetch+extract+pages-write")
         pages_r_path = catalog.write_table(
             "pages", r, pages_r.drop("discovered_norm")
         )
@@ -715,10 +727,36 @@ def run_crawl(
         t_fetch = time.time()
 
         # seen += processed rows (J3; error rows included, R2/R3) —
-        # derived from the pages snapshots, no separate table write
+        # derived from the pages snapshots, no separate table write.
+        # Incremental: cached seen-so-far ∪ THIS round's snapshot only;
+        # reading the delta from the just-written snapshot (not the
+        # pages cache) keeps the lineage rooted in parquet, so a cache
+        # eviction can never re-trigger the fetch kernel.
         pages_rounds.append(r)
-        seen = seen_from_pages(pages_rounds)
+        delta = spark.read.parquet(pages_r_path).select(
+            F.xxhash64("url_norm").alias("url_hash"),
+            "url_norm",
+            F.col("host_shard"),
+        )
+        if seen_cache is not None:
+            seen_next = seen_cache.unionByName(delta)
+        elif len(pages_rounds) > 1:
+            # first Spark round after fastround/resume: fold the earlier
+            # snapshots in once; every later round unions only its delta
+            seen_next = seen_from_pages(
+                [rr for rr in pages_rounds if rr != r]
+            ).unionByName(delta)
+        else:
+            seen_next = delta
         processed_next = processed + due_count
+        will_expand = (
+            processed_next < budget and (r + 1) < config.max_rounds
+        )
+        if will_expand:
+            # materialized by the admission job below; the previous
+            # cache is released after the frontier write
+            seen_next = seen_next.persist()
+        seen = seen_next
 
         # bloom sidecar (covering seen through round r) builds BEFORE
         # the expansion admission, so admission sees a FRESH bitmap and
@@ -738,14 +776,13 @@ def run_crawl(
         # deterministically from that snapshot (same expansion, same
         # admission), so resumability is unchanged while every
         # non-resumed crawl saves a full expansion's work.
-        final_round = (
-            processed_next >= budget or (r + 1) >= config.max_rounds
-        )
+        final_round = not will_expand
         if (
             config.use_bloom
             and not final_round
             and processed_next >= config.bloom_min_seen
         ):
+            sc.setJobDescription(f"crawl r{r}: bloom sidecar")
             if bloom_state is None:
                 # first engagement: ONE per-shard counts job sizes each
                 # shard's bitmap from its observed key share
@@ -802,7 +839,13 @@ def run_crawl(
         # chain) now runs on the small side.
         if config.discovery and not final_round:
             cand = expand_frontier(pages_r, base, next_round=r + 1)
-            cand = dedup_within_round(cand)
+            # ``url`` is url_norm verbatim for every expansion row
+            # (expand_frontier selects url_norm twice) — drop the copy
+            # BEFORE the dedup exchange so each candidate row carries
+            # one string, not two, through the round's biggest shuffle;
+            # re-aliased after admission (guide §2.3: shuffle fewer
+            # bytes).
+            cand = dedup_within_round(cand.drop("url"))
             # derive (host, url_hash, host_shard) ONCE — they ride the
             # v2 frontier file so no later round recomputes them
             cand = (
@@ -821,7 +864,8 @@ def run_crawl(
                 seen_count=processed_next, broadcast_below=config.bloom_min_seen,
             )
             frontier_next = admitted.select(
-                "url", "round_enqueued", "parent_seq", "sibling_rank",
+                F.col("url_norm").alias("url"),
+                "round_enqueued", "parent_seq", "sibling_rank",
                 "url_norm", "host", "url_hash", "host_shard"
             )
         else:
@@ -874,8 +918,15 @@ def run_crawl(
         if final_round:
             frontier_path = None
         else:
+            sc.setJobDescription(f"crawl r{r}: expand+admit+frontier-write")
             frontier_path = catalog.write_table("frontier", r, frontier_next)
             frontier = spark.read.parquet(frontier_path)
+            # the admission job above materialized seen_next; rotate the
+            # incremental cache (unpersisting earlier frees the old
+            # blocks the new cache's lineage just read)
+            if seen_cache is not None:
+                seen_cache.unpersist()
+            seen_cache = seen_next
         if obs_f is not None:
             counts_row = obs_f.get  # free: rode the write job
             fused_counts = {
@@ -935,6 +986,8 @@ def run_crawl(
 
     if not prepared:
         web_fetch.unpersist()
+    if seen_cache is not None:
+        seen_cache.unpersist()
 
     # the loop may end while still in fast mode (seen_set-resident):
     # the authoritative seen set is always derivable from the pages

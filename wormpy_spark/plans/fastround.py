@@ -48,7 +48,11 @@ import pandas as pd
 
 from ..functions.urlnorm import get_domain, is_suspicious_url, normalize_url
 from ..functions.xxhash import pmod, xxhash64_str
-from ..operators.fetch import PAGES_SCHEMA, make_fetch_extract
+from ..operators.fetch import (
+    PAGES_SCHEMA,
+    PAGES_SCHEMA_EXPAND,
+    make_fetch_extract,
+)
 
 PAGES_ARROW_SCHEMA = pa.schema(
     [
@@ -148,6 +152,7 @@ def run_fast_round(
     web_fetch,
     probe_skip: frozenset,
     robots_cache,
+    probe_skip_bc=None,
 ) -> FastRound:
     """One crawl round over a driver-resident frontier.
 
@@ -219,9 +224,21 @@ def run_fast_round(
         F.broadcast(due_df.select("url_norm")), on="url_norm", how="left_semi"
     )
     joined = due_df.join(F.broadcast(web_small), on="url_norm", how="left")
-    page_rows = joined.mapInPandas(
-        make_fetch_extract(config.discovery), PAGES_SCHEMA
-    ).collect()
+    # scope_base + probe_skip_bc: the kernel pre-canonicalizes, scope-
+    # filters and probe-skips each page's expansion set IN the parallel
+    # workers (``discovered_norm``), so the driver expansion below
+    # iterates ready-made lists instead of running ~links-many
+    # normalize_url calls single-threaded (measured 2-3 s of driver-
+    # only wall in round 1 at every parallelism level).
+    if config.discovery and probe_skip_bc is not None:
+        kernel = make_fetch_extract(
+            config.discovery, scope_base=base, probe_skip_bc=probe_skip_bc
+        )
+        out_schema = PAGES_SCHEMA_EXPAND
+    else:
+        kernel = make_fetch_extract(config.discovery)
+        out_schema = PAGES_SCHEMA
+    page_rows = joined.mapInPandas(kernel, out_schema).collect()
     pages = sorted(
         (row.asDict(recursive=True) for row in page_rows),
         key=lambda p: p["seq"],
@@ -245,13 +262,20 @@ def run_fast_round(
         for p in pages:
             if p["error"] is not None or not p["discovered_urls"]:
                 continue
-            per_parent = sorted(
-                {
-                    nn
-                    for nn in (normalize_url(l) for l in p["discovered_urls"])
-                    if nn.startswith(base) and nn not in probe_skip
-                }
-            )
+            if "discovered_norm" in p:
+                # kernel-computed per-parent set: already normalized,
+                # scope-filtered, probe-skipped, distinct and sorted —
+                # byte-identical to the fallback below by construction
+                # (same normalize_url, same filters, same sort)
+                per_parent = p["discovered_norm"]
+            else:
+                per_parent = sorted(
+                    {
+                        nn
+                        for nn in (normalize_url(l) for l in p["discovered_urls"])
+                        if nn.startswith(base) and nn not in probe_skip
+                    }
+                )
             for pos, nn in enumerate(per_parent):
                 cand = (r + 1, p["seq"], pos + 1, nn, nn)
                 prev = best.get(nn)
