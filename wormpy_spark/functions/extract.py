@@ -222,6 +222,164 @@ def doc_meta(root: _Node, content_type: str, url: str) -> dict[str, str | None]:
     return meta
 
 
+class _StreamExtract(HTMLParser):
+    """One-pass streaming extraction: visible text, raw <a href> values
+    and metadata in a SINGLE ``feed()`` — no tree, no walks.
+
+    Byte-for-byte output parity with the tree pipeline
+    (``_parse`` + ``doc_text``/``doc_links``/``doc_meta``) is a proof
+    obligation (tests/test_extract_stream.py asserts equality over the
+    fixture corpus and the adversarial cases); the mapping is:
+
+    - visible text: a data run is kept iff no enclosing open element
+      (including the element itself) is dropped — identical to
+      ``_collect_text``'s skip-dropped-subtrees pre-order walk, because
+      the inherited ``drop`` flag on the open-element stack IS that
+      ancestor predicate, and stream order IS document order;
+    - mis-nesting: ``handle_endtag`` pops to the nearest matching open
+      tag — the same loop ``_DomBuilder.handle_endtag`` runs;
+    - links: every ``<a href>`` anywhere (dropped regions included),
+      raw href collected; the caller resolves against the page URL
+      (``doc_links`` resolved per node then set-deduped — resolving
+      the deduped raw set is the same set, resolve_link is pure);
+    - meta/title/ld+json: ``doc_meta``'s ``walk_all`` visits every node
+      unconditionally in pre-order — mirrored by handling every
+      starttag; the first <title>'s subtree text applies the dropped
+      filter RELATIVE to the title element (``_collect_text(node)``),
+      tracked by the parallel ``tdrop`` flag; ld+json captures DIRECT
+      text children of the script element only (``node.text_parts``).
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        # open-element stack: (tag, dropped, dropped_within_title)
+        self.stack: list[tuple[str, bool, bool]] = [("[root]", False, False)]
+        self.parts: list[str] = []
+        self.hrefs: list[str] = []
+        self.meta_pairs: dict[str, str] = {}
+        self._title_buf: list[str] | None = None   # open <title> capture
+        self._title_ix: int | None = None          # its stack index
+        self.title: str | None = None
+        self._title_done = False
+        self._script_buf: list[str] | None = None  # open ld+json capture
+        self._script_ix: int | None = None
+        self.schemas: list[str] = []
+
+    def _on_tag(self, tag: str, attrs_d: dict) -> None:
+        """Shared link/meta handling for start and self-closing tags."""
+        if tag == "a":
+            href = attrs_d.get("href")
+            if href is not None:
+                self.hrefs.append(href)
+        elif tag == "meta":
+            content = attrs_d.get("content")
+            if content is not None:
+                name = attrs_d.get("name")
+                prop = attrs_d.get("property")
+                if name is not None:
+                    self.meta_pairs[name.lower()] = content
+                elif prop is not None:
+                    self.meta_pairs[prop.lower()] = content
+
+    def handle_starttag(self, tag, attrs):
+        attrs_d = dict(attrs)
+        self._on_tag(tag, attrs_d)
+        if tag in VOID_ELEMENTS:
+            return
+        _, pdrop, ptdrop = self.stack[-1]
+        node_dropped = (
+            tag in DROP_TAGS
+            or "display:none" in (attrs_d.get("style") or "")
+            or "hidden" in (attrs_d.get("class") or "")
+        )
+        drop = pdrop or node_dropped
+        in_title = self._title_buf is not None
+        tdrop = (ptdrop or node_dropped) if in_title else False
+        self.stack.append((tag, drop, tdrop))
+        if tag == "title" and not self._title_done and not in_title:
+            self._title_buf = []
+            self._title_ix = len(self.stack) - 1
+        elif (
+            tag == "script"
+            and attrs_d.get("type") == "application/ld+json"
+            and self._script_buf is None
+        ):
+            self._script_buf = []
+            self._script_ix = len(self.stack) - 1
+
+    def handle_startendtag(self, tag, attrs):
+        self._on_tag(tag, dict(attrs))
+
+    def _finalize_from(self, i: int) -> None:
+        """Close any title/ld+json capture whose frame is being popped."""
+        if self._title_ix is not None and self._title_ix >= i:
+            self.title = "".join(self._title_buf)
+            self._title_done = True
+            self._title_buf = None
+            self._title_ix = None
+        if self._script_ix is not None and self._script_ix >= i:
+            self.schemas.append("".join(self._script_buf))
+            self._script_buf = None
+            self._script_ix = None
+
+    def handle_endtag(self, tag):
+        stack = self.stack
+        for i in range(len(stack) - 1, 0, -1):
+            if stack[i][0] == tag:
+                self._finalize_from(i)
+                del stack[i:]
+                break
+
+    def handle_data(self, data):
+        _, drop, tdrop = self.stack[-1]
+        if not drop:
+            self.parts.append(data)
+        if self._title_buf is not None and not tdrop:
+            self._title_buf.append(data)
+        if (
+            self._script_buf is not None
+            and len(self.stack) - 1 == self._script_ix
+        ):
+            self._script_buf.append(data)
+
+    def finish(self) -> None:
+        self._finalize_from(1)
+
+
+def extract_all(html: str) -> tuple[str, set[str], dict]:
+    """One-pass (text, raw-href set, body-derived metadata) extraction.
+
+    The metadata dict captures only the BODY-derived state (meta-tag
+    pairs in document order, title, ld+json candidates) packed so that
+    ``assemble_meta`` reproduces ``doc_meta``'s exact overwrite order;
+    text post-processing is byte-identical to ``doc_text``."""
+    p = _StreamExtract()
+    p.feed(html or "")
+    p.finish()
+    stripped = (s.strip() for s in "\n".join(p.parts).splitlines())
+    text = "\n".join(line for line in stripped if line)
+    return text, set(p.hrefs), {
+        "pairs": p.meta_pairs,
+        "title": p.title,
+        "schemas": p.schemas,
+    }
+
+
+def assemble_meta(body_meta: dict, content_type: str, url: str) -> dict:
+    """Rebuild ``doc_meta``'s output (same overwrite order: url/ct
+    stamp, then doc-order meta pairs, then title, then last valid
+    ld+json) from ``extract_all``'s body-derived state."""
+    meta: dict[str, str | None] = {"url": url, "content_type": content_type}
+    meta.update(body_meta["pairs"])
+    meta["title"] = body_meta["title"]
+    for raw in body_meta["schemas"]:
+        try:
+            meta["schema_org"] = json.dumps(json.loads(raw), sort_keys=True)
+        except (json.JSONDecodeError, TypeError):
+            pass
+    return meta
+
+
 def pdf_stub_text(body: bytes) -> str:
     """Stub PDF text extractor (FIXTURES.md PDF note): text between
     bare BT/ET markers — the fallback when pdf_text finds no real
