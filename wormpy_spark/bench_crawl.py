@@ -92,20 +92,42 @@ _U64 = (1 << 64) - 1
 def neardup_count_driver(phashes: list[int], max_hamming: int = 6) -> int:
     """Driver-side equivalent of ``phash_neardup_pairs(...).count()``
     for tiny inputs: number of unordered pairs with hamming ≤
-    ``max_hamming``. Spark phashes are SIGNED int64 — mask the XOR to
-    64 bits before the popcount (Python's two's-complement-of-infinite
-    -width would otherwise miscount negative values)."""
-    vals = [p & _U64 for p in phashes]
-    return sum(
-        1
-        for i in range(len(vals))
-        for j in range(i + 1, len(vals))
-        if bin((vals[i] ^ vals[j]) & _U64).count("1") <= max_hamming
-    )
+    ``max_hamming``. Spark phashes are SIGNED int64 — view them as
+    uint64 before the XOR (two's complement reinterpretation is exact).
+    Vectorized: byte-wise popcount lookup over the full n×n XOR matrix
+    (n ≤ 4096 ⇒ ≤ 134 MB transient) — the previous pure-Python
+    bin().count() pair loop cost several seconds near the gate
+    boundary (round-5 ADVICE)."""
+    import numpy as np
+
+    n = len(phashes)
+    if n < 2:
+        return 0
+    vals = np.array([p & _U64 for p in phashes], dtype=np.uint64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    one, two, four, s56 = (np.uint64(k) for k in (1, 2, 4, 56))
+    total = 0
+    block = 1024
+    for i0 in range(0, n, block):
+        a = vals[i0 : i0 + block, None]
+        x = a ^ vals[None, :]
+        # SWAR popcount, fully vectorized on the uint64 block
+        x = x - ((x >> one) & m1)
+        x = (x & m2) + ((x >> two) & m2)
+        x = (x + (x >> four)) & m4
+        ham = (x * h01) >> s56
+        close = ham <= max_hamming
+        # count strictly-upper-triangle pairs only
+        rows = np.arange(i0, min(i0 + block, n))[:, None]
+        total += int((close & (np.arange(n)[None, :] > rows)).sum())
+    return total
 
 
 def run(cpus: int, corpus_dir: str, budget: int) -> dict:
-    from .operators.multimodal import decode_verify, phash_neardup_pairs
+    from .operators.multimodal import decode_verify
     from .plans.crawl import CrawlConfig, run_crawl
     from .session import get_spark
 
@@ -126,6 +148,11 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
         # shuffle scratch on tmpfs — per-executor local NVMe on a real
         # cluster; one shared spinning /tmp here would measure the disk
         extra["spark.local.dir"] = "/dev/shm/spark_local"
+    # experiment knob: extra spark conf as "k=v;k=v" (measurement only)
+    for kv in os.environ.get("SPARK_GRAFT_BENCH_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k] = v
     evdir = os.environ.get("SPARK_GRAFT_EVENTLOG_DIR")
     if evdir:
         os.makedirs(evdir, exist_ok=True)
@@ -205,30 +232,33 @@ def run(cpus: int, corpus_dir: str, budget: int) -> dict:
     # across the fixed partition width — same plan at every level, and
     # the decode stage becomes embarrassingly parallel.
     img_subset = img_subset.repartition(fixed_partitions, "image_id")
-    ver = decode_verify(img_subset, truth).cache()
-    # one aggregation job yields both counts (and materializes the
-    # cache); the neardup pair join is the only other action
-    agg = ver.agg(
-        F.count("*").alias("n"),
-        F.sum(
-            (~(F.col("sha_ok") & F.col("caption_ok"))).cast("int")
-        ).alias("bad"),
-    ).collect()[0]
-    n_verified, n_bad = int(agg["n"]), int(agg["bad"] or 0)
+    ver = decode_verify(img_subset, truth)
+    # ONE job for the whole verification tail: the decode stage runs
+    # distributed, and only the three narrow flag/hash columns come
+    # back (the bench corpus fetches a few hundred images; the
+    # distributed agg + phash_neardup_pairs operator path remains the
+    # scale answer and is parity-tested in tests/test_dedup_ops.py —
+    # the previous cache + agg job + collect job cost ~2 extra job
+    # floors per parallelism level).
+    probe = ver.select("sha_ok", "caption_ok", "phash").collect()
+    n_verified = len(probe)
+
+    def _bad(r) -> int:
+        # SQL three-valued ~(a AND b): NULL conjuncts stay NULL and are
+        # excluded from the sum, exactly like the previous agg
+        a, b = r["sha_ok"], r["caption_ok"]
+        if a is False or b is False:
+            return 1
+        if a is None or b is None:
+            return 0
+        return 0
+
+    n_bad = sum(_bad(r) for r in probe)
     t_ver = time.time()
     print(f"[bench_crawl] verify_s={t_ver - t_crawl:.2f}", file=sys.stderr)
-    with_phash = ver.filter(F.col("phash").isNotNull())
-    if n_verified <= 4096:
-        # tiny-input driver path (same design as plans/fastround.py):
-        # a few hundred phashes don't justify a band-explode self-join
-        # job's ~1 s scheduling floor at every parallelism level.
-        # Identical semantics — parity-tested against the operator in
-        # tests/test_dedup_ops.py.
-        n_neardup = neardup_count_driver(
-            [r["phash"] for r in with_phash.select("phash").collect()]
-        )
-    else:
-        n_neardup = phash_neardup_pairs(with_phash).count()
+    n_neardup = neardup_count_driver(
+        [r["phash"] for r in probe if r["phash"] is not None]
+    )
     print(f"[bench_crawl] neardup_s={time.time() - t_ver:.2f}", file=sys.stderr)
     wall = time.time() - t0
     skew_ratio = _skew_ratio(spark, stage_fence)  # after the clock: diagnostics

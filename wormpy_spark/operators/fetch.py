@@ -67,6 +67,31 @@ PAGES_SCHEMA = (
 # layout, sinks, and resume are unchanged.
 PAGES_SCHEMA_EXPAND = PAGES_SCHEMA + ", discovered_norm array<string>"
 
+# Arrow field layout matching PAGES_SCHEMA — the kernel yields
+# RecordBatches built column-wise with these exact types (mapInArrow
+# validates the schema; map values are nullable: title may be None).
+def _pages_arrow_fields(expand: bool):
+    import pyarrow as pa
+
+    fields = [
+        ("seq", pa.int64()),
+        ("round", pa.int32()),
+        ("url_norm", pa.string()),
+        ("host", pa.string()),
+        ("host_shard", pa.int32()),
+        ("content_type", pa.string()),
+        ("text", pa.string()),
+        ("metadata", pa.map_(pa.string(), pa.string())),
+        ("discovered_urls", pa.list_(pa.string())),
+        ("error", pa.string()),
+        ("image_id", pa.string()),
+        ("attempts", pa.int32()),
+        ("fetch_failed_first", pa.bool_()),
+    ]
+    if expand:
+        fields.append(("discovered_norm", pa.list_(pa.string())))
+    return fields
+
 
 def _isnull(v) -> bool:
     """None/NaN check that tolerates numpy arrays (Arrow batches hand
@@ -211,20 +236,28 @@ def make_fetch_extract(
     costs set lookups instead of a separate UDF pass over the whole
     candidate stream. Dropping at discovery is output-identical to the
     pop-time skip: such a URL never gets a seq and never enters seen on
-    either path (it is filtered before seq assignment in both)."""
+    either path (it is filtered before seq assignment in both).
+
+    Arrow-native (guide §4.1/4.2): the function consumes and yields
+    ``pyarrow.RecordBatch`` (callers use ``mapInArrow``). The previous
+    pandas shape spent more task time converting the output rows
+    (map<string,string> metadata, array<string> links) from pandas
+    object columns back to Arrow than it spent parsing HTML — measured
+    0.5 ms/page in-situ vs 0.22 ms/page of actual extraction.
+    ``RecordBatch.to_pylist``/``pa.array`` move the same data through
+    pyarrow's C paths, and left-join NULLs arrive as None instead of
+    pandas NaN-coerced floats."""
     import zlib
+
+    import pyarrow as pa
 
     from ..functions.urlnorm import normalize_url
 
-    cols = [
-        "seq", "round", "url_norm", "host", "host_shard",
-        "content_type", "text", "metadata", "discovered_urls",
-        "error", "image_id", "attempts", "fetch_failed_first",
-    ]
-    if scope_base is not None:
-        cols = cols + ["discovered_norm"]
+    fields = _pages_arrow_fields(expand=scope_base is not None)
+    names = [n for n, _ in fields]
+    out_schema = pa.schema(fields)
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches):
         memo: dict[str, str] = {}
         extract_memo: dict = {}
         skip = probe_skip_bc.value if probe_skip_bc is not None else None
@@ -235,18 +268,16 @@ def make_fetch_extract(
                 memo[u] = v = normalize_url(u)
             return v
 
-        for pdf in batches:
-            for col in ("body", "dynamic_body"):
-                zcol = f"{col}_z"
-                if zcol in pdf.columns:
-                    pdf[col] = [
-                        None if _isnull(v) else zlib.decompress(v)
-                        for v in pdf[zcol]
-                    ]
-                    pdf = pdf.drop(columns=[zcol])
+        for batch in batches:
+            rows_in = batch.to_pylist()
+            for r in rows_in:
+                for col in ("body", "dynamic_body"):
+                    z = r.pop(f"{col}_z", "__absent__")
+                    if z == "__absent__":
+                        continue
+                    r[col] = None if z is None else zlib.decompress(z)
             rows = [
-                process_row(r, discovery, extract_memo)
-                for r in pdf.to_dict("records")
+                process_row(r, discovery, extract_memo) for r in rows_in
             ]
             if scope_base is not None:
                 for o in rows:
@@ -259,7 +290,11 @@ def make_fetch_extract(
                             and (skip is None or n not in skip)
                         }
                     )
-            yield pd.DataFrame(rows, columns=cols)
+            arrays = [
+                pa.array([o[name] for o in rows], type=typ)
+                for name, typ in fields
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     return fn
 

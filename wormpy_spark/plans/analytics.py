@@ -30,10 +30,23 @@ TABLES = (
 ).split()
 
 
+# (session id, table name) -> registered sf_dir. View registration is
+# metadata-only (temp views are lazy scans — every query still computes
+# from parquet), but each registration re-reads the parquet footer for
+# schema; a 35-query benchmark sweep re-registered 10 tables per query
+# call. Memoize per session+path; a different sf_dir re-registers.
+_VIEWS_REGISTERED: dict[tuple[str, str], str] = {}
+
+
 def load_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register the sf tables as temp views (idempotent)."""
+    """Register the sf tables as temp views (idempotent, memoized)."""
+    app = spark.sparkContext.applicationId  # unique per context, unlike id()
     for name in TABLES:
+        key = (app, name)
+        if _VIEWS_REGISTERED.get(key) == sf_dir:
+            continue
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+        _VIEWS_REGISTERED[key] = sf_dir
 
 
 def _sql(statement: str):
@@ -1396,9 +1409,14 @@ FROM w, unnest(range(1, n_epochs + 1)) AS u(e)
 
 # CCNet-style LM quality proxy: per-doc mean log corpus-frequency of
 # its bigrams (high = built from common corpus bigrams ≈ low
-# perplexity). Two passes over the exploded bigram stream: corpus
-# counts (map-side combinable), then a broadcast-friendly count join
-# back. avg(ln(count)) rounded to 4 dp for float parity.
+# perplexity). ONE pass over the exploded bigram stream: the per-gram
+# corpus count rides a count(*) window (partition by gram) instead of
+# a separate GROUP BY + join back — Spark recomputes a referenced-
+# twice CTE, so the join shape paid the token explode twice (round-5
+# verdict item; the window halves the scan work). Output-identical:
+# the window count per row equals the joined cnt.n, and the final
+# per-doc aggregate sees the same multiset of rows. The DuckDB oracle
+# text is frozen (driver fingerprint) and keeps the join shape.
 LM_SCORE_SPARK = """
 WITH t AS (
   SELECT doc_id, w FROM (
@@ -1407,12 +1425,14 @@ WITH t AS (
 big AS (
   SELECT doc_id, concat(element_at(w, i), ' ', element_at(w, i + 1)) AS gram
   FROM t LATERAL VIEW explode(sequence(1, greatest(size(w) - 1, 1))) AS i),
-cnt AS (SELECT gram, count(*) AS n FROM big GROUP BY gram)
-SELECT b.doc_id,
-       round(avg(ln(c.n)), 4) AS lm_score,
+wcnt AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY gram) AS n
+  FROM big)
+SELECT doc_id,
+       round(avg(ln(n)), 4) AS lm_score,
        count(*) AS n_bigrams
-FROM big b JOIN cnt c ON b.gram = c.gram
-GROUP BY b.doc_id
+FROM wcnt
+GROUP BY doc_id
 """
 LM_SCORE_DUCK = """
 WITH t AS (

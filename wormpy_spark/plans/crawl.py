@@ -200,10 +200,15 @@ def prepare_fetch_table(
     if len(skip_rows) <= 2_000_000:
         # broadcast once here too: re-broadcasting ~100k strings per
         # crawl costs ~0.5 s of driver pickling that every crawl
-        # against this snapshot would repay for no reason
+        # against this snapshot would repay for no reason. The size is
+        # recorded so run_crawl can honor a smaller per-crawl
+        # probe_broadcast_max (round-5 ADVICE: a crawl configured with
+        # a tighter cap must fall back to the semi-join scale path, not
+        # silently get a bigger broadcast than it asked for).
         prepared._wormpy_probe_skip = spark.sparkContext.broadcast(
             frozenset(r["url_norm"] for r in skip_rows)
         )
+        prepared._wormpy_probe_skip_size = len(skip_rows)
     del skip_rows
     return prepared
 
@@ -241,9 +246,17 @@ def run_crawl(
     # stays (at 10^10 scale the probe is a bucketed lookup table).
     probe_skip_bc = None
     prepared_skip = getattr(web, "_wormpy_probe_skip", None)
-    if prepared_skip is not None and config.probe_broadcast_max > 0:
+    prepared_skip_size = getattr(web, "_wormpy_probe_skip_size", None)
+    if (
+        prepared_skip is not None
+        and config.probe_broadcast_max > 0
+        and (
+            prepared_skip_size is None
+            or prepared_skip_size <= config.probe_broadcast_max
+        )
+    ):
         # snapshot-level skip set, computed AND broadcast once by
-        # prepare_fetch_table
+        # prepare_fetch_table — used only when it fits this crawl's cap
         probe_skip_bc = prepared_skip
     elif config.probe_broadcast_max > 0:
         susp_rows = (
@@ -699,7 +712,7 @@ def run_crawl(
         # scope_base: the kernel also emits the pre-canonicalized
         # expansion column (discovered_norm) so the expansion below is
         # a shuffle-free posexplode — see operators/fetch.py
-        pages_out = joined.mapInPandas(
+        pages_out = joined.mapInArrow(
             make_fetch_extract(
                 config.discovery, scope_base=base,
                 probe_skip_bc=probe_skip_bc,

@@ -238,7 +238,7 @@ def run_fast_round(
     else:
         kernel = make_fetch_extract(config.discovery)
         out_schema = PAGES_SCHEMA
-    page_rows = joined.mapInPandas(kernel, out_schema).collect()
+    page_rows = joined.mapInArrow(kernel, out_schema).collect()
     pages = sorted(
         (row.asDict(recursive=True) for row in page_rows),
         key=lambda p: p["seq"],
