@@ -303,6 +303,13 @@ def anti_join_seen(
     flagged = candidates.withColumn(
         "_maybe_seen", maybe_seen(F.col(hash_col), F.col(shard_col))
     )
+    # The union below consumes ``flagged`` twice; without a lineage cut
+    # Spark evaluates the whole upstream (candidate explode + dedup +
+    # the bloom UDF pass) once PER BRANCH — observed as a second full
+    # pages-cache read in the round-3 expansion plan. A lazy
+    # localCheckpoint materializes the flagged stream once on first
+    # use and both branches read the same RDD blocks.
+    flagged = flagged.localCheckpoint(eager=False)
     definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     suspects = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
     checked = suspects.join(seen_keys, on=[hash_col, key_col], how="left_anti")

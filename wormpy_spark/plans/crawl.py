@@ -99,11 +99,15 @@ class CrawlConfig:
     n_host_shards: int = 64
     # below this, the seen keys broadcast whole (anti_join_seen); above
     # it the bloom sidecar takes over as the no-shuffle pre-filter —
-    # its bitmap broadcast is ~30x smaller than the raw keys. 500k keys
-    # ≈ 35 MB of (hash, url) — still comfortably broadcastable; below
-    # that the broadcast anti-join measures faster than the bloom
-    # UDF + suspect-shuffle path (pinned 2v8 phase profile, round 4)
-    bloom_min_seen: int = 500_000
+    # its bitmap broadcast is ~30x smaller than the raw keys. The
+    # broadcast anti-join is ONE plan subtree; the bloom path's
+    # definite-new ∪ checked-suspects union evaluates its upstream
+    # (explode + dedup + UDF flag) once per branch unless checkpointed
+    # (see anti_join_seen), so prefer the broadcast ladder rung while
+    # the keys fit: 2M keys ≈ 140 MB of (hash, url) broadcast — fine
+    # under the 24g bench driver; size DOWN on small drivers. At 10^9+
+    # seen the sidecar takes over regardless.
+    bloom_min_seen: int = 2_000_000
     # max suspicious-image rows collectable for the probe fast path
     # (above this the per-round probe semi-join runs instead); 0
     # forces the join path (used by parity tests)
@@ -707,7 +711,14 @@ def run_crawl(
             )
             joined = due.join(web_small, on="url_norm", how="left")
         else:
-            joined = due.join(web_fetch.hint("shuffle_hash"), on="url_norm", how="left")
+            # hint on the DUE side => ShuffledHashJoin BuildLeft: the
+            # hash relation is built from this round's (small) due keys
+            # and the persisted web partitions STREAM through the probe.
+            # The previous hint on the web side made the WEB the build
+            # side (LeftOuter defaults to BuildRight) — a multi-GB hash
+            # relation of page bodies rebuilt per round, with the GC to
+            # match (guide §3.1: check the build side in the plan).
+            joined = due.hint("shuffle_hash").join(web_fetch, on="url_norm", how="left")
         obs = Observation(f"round_{r}")
         # scope_base: the kernel also emits the pre-canonicalized
         # expansion column (discovered_norm) so the expansion below is
