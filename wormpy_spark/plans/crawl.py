@@ -183,7 +183,17 @@ def prepare_fetch_table(
         for col in ("body", "dynamic_body"):
             if col in web.columns:
                 web = web.withColumn(f"{col}_z", _deflate(F.col(col))).drop(col)
-    prepared = web.repartition(n_part, "url_norm").persist()
+    # sortWithinPartitions: hash partitioning (the join contract) is
+    # preserved, and the columnar cache's per-batch min/max statistics
+    # become range-tight — a literal IN filter over the cache (the
+    # fastround key lookup) then SKIPS whole batches without decoding
+    # their body columns, instead of decoding the entire cached table
+    # to select a few hundred rows.
+    prepared = (
+        web.repartition(n_part, "url_norm")
+        .sortWithinPartitions("url_norm")
+        .persist()
+    )
     prepared.count()  # materialize the layout now
     prepared._wormpy_prepared = True
     # The HEAD-probe skip set (suspicious URLs whose content type is
@@ -304,6 +314,16 @@ def run_crawl(
     sitemap_urls: list[str] = []
     metrics_rows: list[dict] = []
 
+    def read_pages_snaps(paths: list[str]) -> DataFrame:
+        """Snapshot read with the known PAGES_SCHEMA — skips the
+        per-call footer/schema-inference job. Resumed crawls keep
+        inference: an old checkpoint may predate newer columns and the
+        explicit schema would null them instead of triggering the
+        documented backfill paths."""
+        if config.resume:
+            return spark.read.parquet(*paths)
+        return spark.read.schema(PAGES_SCHEMA).parquet(*paths)
+
     def seen_from_pages(rounds_list: list[int]) -> DataFrame:
         """The seen set IS the processed pages' keys (J3): read them
         column-pruned from the per-round pages snapshots instead of
@@ -312,7 +332,7 @@ def run_crawl(
         if not rounds_list:
             return _empty(spark, SEEN_SCHEMA)
         paths = [f"{catalog.root}/pages/snap-{rr:06d}" for rr in sorted(set(rounds_list))]
-        df = spark.read.parquet(*paths)
+        df = read_pages_snaps(paths)
         if "host_shard" in df.columns:
             shard = F.col("host_shard")
         else:
@@ -757,7 +777,7 @@ def run_crawl(
         # pages cache) keeps the lineage rooted in parquet, so a cache
         # eviction can never re-trigger the fetch kernel.
         pages_rounds.append(r)
-        delta = spark.read.parquet(pages_r_path).select(
+        delta = spark.read.schema(PAGES_SCHEMA).parquet(pages_r_path).select(
             F.xxhash64("url_norm").alias("url_hash"),
             "url_norm",
             F.col("host_shard"),
@@ -944,7 +964,13 @@ def run_crawl(
         else:
             sc.setJobDescription(f"crawl r{r}: expand+admit+frontier-write")
             frontier_path = catalog.write_table("frontier", r, frontier_next)
-            frontier = spark.read.parquet(frontier_path)
+            # the writer's schema is known exactly (v2 + seq_bucket iff
+            # the fused-seq observation ran): an explicit schema skips
+            # the per-round footer/schema-inference job
+            frontier_schema = FRONTIER_SCHEMA_V2 + (
+                ", seq_bucket int" if obs_f is not None else ""
+            )
+            frontier = spark.read.schema(frontier_schema).parquet(frontier_path)
             # the admission job above materialized seen_next; rotate the
             # incremental cache (unpersisting earlier frees the old
             # blocks the new cache's lineage just read)
@@ -1020,8 +1046,8 @@ def run_crawl(
 
     # assemble results across rounds
     if pages_rounds:
-        pages = spark.read.parquet(
-            *[f"{catalog.root}/pages/snap-{rr:06d}" for rr in sorted(set(pages_rounds))]
+        pages = read_pages_snaps(
+            [f"{catalog.root}/pages/snap-{rr:06d}" for rr in sorted(set(pages_rounds))]
         )
     else:
         pages = _empty(spark, PAGES_SCHEMA)

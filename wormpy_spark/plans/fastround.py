@@ -220,8 +220,14 @@ def run_fast_round(
     due_df = spark.createDataFrame(
         due_pdf, "url_norm string, seq long, round int, host string, host_shard int"
     )
-    web_small = web_fetch.join(
-        F.broadcast(due_df.select("url_norm")), on="url_norm", how="left_semi"
+    # literal IN filter instead of a broadcast semi-join: the due keys
+    # are already driver-resident (≤ fast_round_max) and a literal
+    # predicate is eligible for the cache's batch-statistics pruning —
+    # with the prep-sorted cache (prepare_fetch_table) the scan skips
+    # every 1024-row batch whose url_norm range contains no key,
+    # instead of decoding the whole cached web table to keep ~300 rows.
+    web_small = web_fetch.filter(
+        F.col("url_norm").isin(due_pdf["url_norm"].tolist())
     )
     joined = due_df.join(F.broadcast(web_small), on="url_norm", how="left")
     # scope_base + probe_skip_bc: the kernel pre-canonicalizes, scope-
