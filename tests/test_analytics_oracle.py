@@ -98,12 +98,27 @@ if _subset:
     ROWS_ONLY = [n for n in ROWS_ONLY if _keep(n)]
 
 
+# Per-query wall budget at sf0.01 (round-5 verdict #8): the driver's
+# correctness sweep has a fixed time budget, and one silently-slow
+# query can push later registry entries out of their driver rows —
+# exactly how 24 queries lost coverage in round 5. Catch it here.
+QUERY_WALL_BUDGET_S = 10.0
+
+
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_oracle(spark, name):
+    import time
+
     fn = entrymod.queries()[name]
+    t0 = time.time()
     sdf = fn(spark, SF_DIR)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
+    spark_wall = time.time() - t0
+    assert spark_wall <= QUERY_WALL_BUDGET_S, (
+        f"{name}: {spark_wall:.1f}s at sf0.01 exceeds the "
+        f"{QUERY_WALL_BUDGET_S}s gate budget"
+    )
 
     dcols, drows, ddf = _duck(entrymod.oracle_sql()[name])
     _check_dtype_parity(name, sdf.dtypes, ddf)
