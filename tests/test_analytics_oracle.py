@@ -101,8 +101,11 @@ if _subset:
 # Per-query wall budget at sf0.01 (round-5 verdict #8): the driver's
 # correctness sweep has a fixed time budget, and one silently-slow
 # query can push later registry entries out of their driver rows —
-# exactly how 24 queries lost coverage in round 5. Catch it here.
-QUERY_WALL_BUDGET_S = 10.0
+# exactly how 24 queries lost coverage in round 5. 20 s leaves
+# headroom for the ann_* cold-start (IVF index build + train sample)
+# under full-suite contention while still catching the multi-minute
+# regressions this guards against.
+QUERY_WALL_BUDGET_S = 20.0
 
 
 @pytest.mark.parametrize("name", ORACLED)
