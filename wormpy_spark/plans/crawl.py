@@ -474,6 +474,17 @@ def run_crawl(
         frontier_admission_exact = True
 
     sc = spark.sparkContext
+    # loop-invariant expression trees, built once: Column/Window
+    # objects are immutable and reusable, and rebuilding the 32
+    # per-bucket observation metrics plus the bucket window costs a
+    # few hundred py4j round-trips per round otherwise
+    bucket_metrics = [
+        F.sum((F.col("seq_bucket") == i).cast("long")).alias(f"b{i}")
+        for i in range(n_part)
+    ]
+    bucket_window = Window.partitionBy("seq_bucket").orderBy(
+        *[F.col(c) for c in PRIORITY_COLS]
+    )
 
     r = start_round
     while r < config.max_rounds and processed < budget:
@@ -594,13 +605,13 @@ def run_crawl(
             mapping = F.create_map(
                 *[F.lit(x) for pid_off in offsets.items() for x in pid_off]
             )
-            bw = Window.partitionBy("seq_bucket").orderBy(
-                *[F.col(c) for c in PRIORITY_COLS]
-            )
             seqd = frontier.withColumn(
                 "seq",
-                (mapping[F.col("seq_bucket")] + F.row_number().over(bw) - 1)
-                .cast("long"),
+                (
+                    mapping[F.col("seq_bucket")]
+                    + F.row_number().over(bucket_window)
+                    - 1
+                ).cast("long"),
             )
             due = seqd.filter(F.col("seq") < budget).withColumn(
                 "round", F.lit(r).cast("int")
@@ -952,13 +963,7 @@ def run_crawl(
             )
             frontier_next = frontier_next.withColumn("seq_bucket", bucket)
             obs_f = Observation(f"frontier_{r}")
-            frontier_next = frontier_next.observe(
-                obs_f,
-                *[
-                    F.sum((F.col("seq_bucket") == i).cast("long")).alias(f"b{i}")
-                    for i in range(n_part)
-                ],
-            )
+            frontier_next = frontier_next.observe(obs_f, *bucket_metrics)
         if final_round:
             frontier_path = None
         else:
